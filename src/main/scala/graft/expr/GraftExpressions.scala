@@ -1,0 +1,116 @@
+package graft.expr
+
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+import graft.core.{TextExtractor, UrlNormalizer}
+
+/**
+ * Custom Catalyst expressions for the crawl engine (SURVEY.md §2.10).
+ * Each implements `doGenCode` as a static call so it stays inside
+ * whole-stage codegen — no UDF/serialization overhead in the hot path.
+ */
+
+/** RFC 3986 canonicalization; URL identity is xxhash64(canonicalize(url)).
+  * Replaces the reference's ad-hoc normalization (main.py:126-127,
+  * healthcare_scraper.py:144-150). */
+case class CanonicalizeUrl(child: Expression)
+    extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def checkInputDataTypes(): TypeCheckResult =
+    GraftExprChecks.requireString(prettyName, child)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "canonicalize_url"
+  override protected def nullSafeEval(v: Any): Any =
+    UrlNormalizer.canonicalizeU8(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.core.UrlNormalizer.canonicalizeU8($c)")
+  override protected def withNewChildInternal(c: Expression): CanonicalizeUrl = copy(c)
+}
+
+/** RFC 3986 §5.2 reference resolution (reference: urljoin at
+  * healthcare_scraper.py:146,182; navigation.py:297). */
+case class ResolveUrl(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = StringType
+  override def checkInputDataTypes(): TypeCheckResult =
+    GraftExprChecks.requireString(prettyName, left, right)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "resolve_url"
+  override protected def nullSafeEval(b: Any, r: Any): Any =
+    UrlNormalizer.resolveU8(b.asInstanceOf[UTF8String], r.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (b, r) => s"graft.core.UrlNormalizer.resolveU8($b, $r)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): ResolveUrl =
+    copy(left = l, right = r)
+}
+
+/** Deterministic html→text (the byte-identical invariant op, SURVEY.md C24).
+  * Accepts BINARY (page-store html column) or STRING. */
+case class ExtractText(child: Expression)
+    extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == BinaryType || child.dataType.isInstanceOf[StringType])
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"extract_text expects STRING or BINARY, got ${child.dataType.sql}")
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "extract_text"
+  private def isBinary: Boolean = child.dataType == BinaryType
+  override protected def nullSafeEval(v: Any): Any =
+    if (isBinary) TextExtractor.extractTextBytes(v.asInstanceOf[Array[Byte]])
+    else TextExtractor.extractTextU8(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    if (isBinary)
+      defineCodeGen(ctx, ev, c => s"graft.core.TextExtractor.extractTextBytes($c)")
+    else
+      defineCodeGen(ctx, ev, c => s"graft.core.TextExtractor.extractTextU8($c)")
+  override protected def withNewChildInternal(c: Expression): ExtractText = copy(c)
+}
+
+/** Position-wise char-overlap similarity: matches(zip(a,b)) / max(len) —
+  * the reference's fuzzy metric (deduplicator.py:166-182). Kept
+  * bit-identical for fixture parity; `levenshtein()` is the documented
+  * builtin alternative. */
+case class CharOverlapSim(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def checkInputDataTypes(): TypeCheckResult =
+    GraftExprChecks.requireString(prettyName, left, right)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "char_overlap_sim"
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    CharOverlapSim.sim(a.asInstanceOf[UTF8String], b.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.expr.CharOverlapSim.sim($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): CharOverlapSim =
+    copy(left = l, right = r)
+}
+
+object CharOverlapSim {
+  /** matches / longer, 0.0 when either empty (ref deduplicator.py:170-182). */
+  def sim(a: UTF8String, b: UTF8String): Double = {
+    val s1 = a.toString; val s2 = b.toString
+    val shorter = math.min(s1.length, s2.length)
+    val longer = math.max(s1.length, s2.length)
+    if (shorter == 0) return 0.0
+    var m = 0; var i = 0
+    while (i < shorter) { if (s1.charAt(i) == s2.charAt(i)) m += 1; i += 1 }
+    m.toDouble / longer
+  }
+}
+
+private[expr] object GraftExprChecks {
+  import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+  def requireString(name: String, es: Expression*): TypeCheckResult = {
+    val bad = es.find(!_.dataType.isInstanceOf[StringType])
+    bad match {
+      case Some(e) => TypeCheckResult.TypeCheckFailure(
+        s"$name expects STRING arguments, got ${e.dataType.sql}")
+      case None => TypeCheckResult.TypeCheckSuccess
+    }
+  }
+}

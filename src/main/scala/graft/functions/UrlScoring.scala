@@ -1,0 +1,65 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/**
+ * URL scoring — a single Catalyst column-expression tree reproducing the
+ * reference's URLScorer semantics exactly (fixture-tested):
+ * /root/reference/url_scorer.py:44-115 with weights from
+ * /root/reference/crawl_config.py:60-76.
+ *
+ * Fully declarative → whole-stage codegen'd, pushed below joins by
+ * Catalyst when used as a frontier filter.
+ */
+object UrlScoring {
+
+  /** keyword → weight (crawl_config.py:61-73). Sum over all matches. */
+  val keywordWeights: Seq[(String, Int)] = Seq(
+    "locations" -> 10, "facilities" -> 10, "communities" -> 8,
+    "directory" -> 8, "find" -> 5, "search" -> 5, "our" -> 3,
+    "contact" -> -5, "about" -> -5, "careers" -> -10, "news" -> -10)
+
+  val depthPenalty = 2
+  val maxDepth = 3
+
+  /** url_scorer.py:26-33 facility_patterns (searched in path OR query). */
+  val facilityPattern =
+    "/location[s]?/|/facilit(y|ies)/|/communit(y|ies)/|/center[s]?/|/find.*location|/directory/"
+
+  /** url_scorer.py:35-44 negative_patterns (searched in path only). */
+  val negativePattern =
+    "/career[s]?/|/job[s]?/|/news/|/blog/|/investor[s]?/|/press/|/media/|\\.pdf$"
+
+  /** Depth of `url` relative to `base` = segment-count difference
+    * (url_scorer.py:103-115); 0 when base is null. */
+  def urlDepth(url: Column, base: Column): Column =
+    when(base.isNull, lit(0))
+      .otherwise(gf.path_segments(url) - gf.path_segments(base))
+
+  /** Score per url_scorer.py:46-101. Returns DOUBLE. */
+  def urlScore(url: Column, base: Column): Column = {
+    val path = lower(gf.url_path(url))
+    val query = lower(gf.url_query(url))
+    val urlLower = lower(url)
+    val depth = urlDepth(url, base)
+
+    val depthTerm = -depth * lit(depthPenalty)
+    val facilityTerm = when(path.rlike(facilityPattern) || query.rlike(facilityPattern), 20)
+      .otherwise(0)
+    val negativeTerm = when(path.rlike(negativePattern), -50).otherwise(0)
+    val keywordTerm = keywordWeights.map { case (kw, w) =>
+      when(urlLower.contains(kw), w).otherwise(0)
+    }.reduce(_ + _)
+    val ourTerm = when(path.contains("/our-") &&
+      (path.contains("location") || path.contains("facilities") || path.contains("communities")),
+      15).otherwise(0)
+    val paginationTerm = when(query.contains("page=") || path.contains("/page/"), 5)
+      .otherwise(0)
+    val docExtTerm = when(path.rlike("\\.(pdf|doc|docx|xls|xlsx)$"), -30).otherwise(0)
+
+    when(depth > maxDepth, lit(-100.0)).otherwise(
+      (depthTerm + facilityTerm + negativeTerm + keywordTerm +
+        ourTerm + paginationTerm + docExtTerm).cast("double"))
+  }
+}

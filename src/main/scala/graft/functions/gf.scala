@@ -1,0 +1,55 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.graftbridge.Bridge.{column, expression}
+import org.apache.spark.sql.functions._
+import graft.expr._
+
+/**
+ * graft functions — the engine's public Column API (mirrors
+ * org.apache.spark.sql.functions style). Custom Catalyst expressions are
+ * exposed here; everything else composes Spark builtins so Catalyst
+ * optimizes/pushes/codegens it all.
+ */
+object gf {
+
+  // ---- custom expressions (SURVEY.md §2.10) ----
+  def canonicalize_url(url: Column): Column = column(CanonicalizeUrl(expression(url)))
+  def resolve_url(base: Column, href: Column): Column =
+    column(ResolveUrl(expression(base), expression(href)))
+  def extract_text(html: Column): Column = column(ExtractText(expression(html)))
+  def char_overlap_sim(a: Column, b: Column): Column =
+    column(CharOverlapSim(expression(a), expression(b)))
+
+  /** URL identity per north rule: xxhash64 of canonical form. */
+  def url_id(url: Column): Column = xxhash64(canonicalize_url(url))
+
+  /** Host of a URL (lowercased, default-port-stripped). */
+  def url_host(url: Column): Column =
+    lower(regexp_extract(url, "^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/?#@]*@)?([^/?#:]*)", 1))
+
+  /** Path component ("" when absent), mirroring Python urlparse().path. */
+  def url_path(url: Column): Column =
+    regexp_extract(url, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)", 1)
+
+  /** Query string ("" when absent). */
+  def url_query(url: Column): Column = regexp_extract(url, "\\?([^#]*)", 1)
+
+  /** Non-empty path-segment count. */
+  def path_segments(url: Column): Column =
+    size(filter(split(url_path(url), "/"), s => s =!= ""))
+
+  /** Register SQL names for the custom expressions (used by spark.sql paths
+    * and by .explain readability). */
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction("canonicalize_url",
+      es => CanonicalizeUrl(es.head), "scala_udf")
+    reg.createOrReplaceTempFunction("resolve_url",
+      es => ResolveUrl(es(0), es(1)), "scala_udf")
+    reg.createOrReplaceTempFunction("extract_text",
+      es => ExtractText(es.head), "scala_udf")
+    reg.createOrReplaceTempFunction("char_overlap_sim",
+      es => CharOverlapSim(es(0), es(1)), "scala_udf")
+  }
+}

@@ -1,0 +1,62 @@
+package graft.expr
+
+import graft.SparkTestBase
+import graft.functions.gf
+import org.apache.spark.sql.functions._
+
+class GraftExpressionsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("canonicalize_url / url_id as Columns, codegen path") {
+    val df = Seq(
+      "HTTPS://ExAmple.COM:443/A/../b?z=1&a=2#f",
+      "example.com/x",
+      "http://h.com:80/p?").toDF("url")
+    val got = df.select(gf.canonicalize_url($"url").as("c"), gf.url_id($"url").as("h"))
+      .collect()
+    assert(got.map(_.getString(0)).toSeq ==
+      Seq("https://example.com/b?a=2&z=1", "https://example.com/x", "http://h.com/p"))
+    // url_id = xxhash64 of the canonical string
+    val expect = df.select(xxhash64(gf.canonicalize_url($"url"))).collect().map(_.getLong(0))
+    assert(got.map(_.getLong(1)).sameElements(expect))
+  }
+
+  test("resolve_url column") {
+    val df = Seq(("https://a.com/b/c", "../x"), ("https://a.com/b/", "y?q=1"))
+      .toDF("base", "href")
+    val got = df.select(gf.resolve_url($"base", $"href")).as[String].collect()
+    assert(got.toSeq == Seq("https://a.com/x", "https://a.com/b/y?q=1"))
+  }
+
+  test("extract_text on BINARY and STRING columns agree") {
+    val html = "<p>Hello <b>World</b></p><script>no</script>"
+    val df = Seq(html).toDF("s")
+      .withColumn("b", $"s".cast("binary"))
+    val r = df.select(gf.extract_text($"s").as("ts"), gf.extract_text($"b").as("tb"))
+      .head()
+    assert(r.getString(0) == "Hello World")
+    assert(r.getString(1) == "Hello World")
+  }
+
+  test("char_overlap_sim matches reference semantics (deduplicator.py:166-182)") {
+    val df = Seq(("sunrise care", "sunrise cares"), ("abc", "abc"), ("", "x"))
+      .toDF("a", "b")
+    val got = df.select(gf.char_overlap_sim($"a", $"b")).as[Double].collect()
+    assert(got(0) == 12.0 / 13.0)   // 12 positional matches / longer=13
+    assert(got(1) == 1.0)
+    assert(got(2) == 0.0)
+  }
+
+  test("SQL registration works") {
+    gf.register(spark)
+    val r = spark.sql("SELECT canonicalize_url('EXAMPLE.com/a/../b') AS c").head().getString(0)
+    assert(r == "https://example.com/b")
+  }
+
+  test("expressions survive filters/joins in codegen'd plans") {
+    val df = (1 to 100).map(i => s"https://h${i % 5}.com/p/$i").toDF("url")
+    val n = df.filter(length(gf.canonicalize_url($"url")) > 10)
+      .select(gf.url_id($"url")).distinct().count()
+    assert(n == 100)
+  }
+}
