@@ -1,24 +1,74 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+import graft.core.CrawlConfig
+import graft.synth.{PageSynth, SynthConfig}
+import graft.frontier.Crawler
+
+/**
+ * Benchmark main. Headline metric per BASELINE.json: frontier-drain
+ * throughput (URLs fetched+deduped/sec) on the synthetic Common-Crawl-style
+ * corpus, plus per-query wall times for every SparkEntry query on
+ * SPARK_GRAFT_SF_DIR. Scaling evidence: run twice with SPARK_GRAFT_CPUS=8
+ * and =32 on the same inputs (BASELINE.md records both + efficiency).
+ *
+ * Env knobs: SPARK_GRAFT_SF_DIR, SPARK_GRAFT_CPUS, GRAFT_BENCH_PAGES,
+ * GRAFT_BENCH_HOSTS, GRAFT_BENCH_ROUNDS, GRAFT_SKIP_QUERIES.
+ */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
-    }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    functions.gf.register(spark)
+
+    // ---- frontier drain benchmark (the north-rule metric) ----
+    val nPages = sys.env.getOrElse("GRAFT_BENCH_PAGES", "60000").toLong
+    val nHosts = sys.env.getOrElse("GRAFT_BENCH_HOSTS", "40").toInt
+    val maxRounds = sys.env.getOrElse("GRAFT_BENCH_ROUNDS", "8").toInt
+    val synthCfg = SynthConfig(nPages = nPages, nHosts = nHosts, hotFrac = 0.4)
+    val crawlCfg = CrawlConfig(maxDepth = 30, perHostBudget = 2000,
+      saltBuckets = 16, bloomBuckets = 32)
+
+    val pages = PageSynth.pages(spark, synthCfg).toDF()
+    val keyed = Crawler.keyPages(pages, cpus.toInt)
+    keyed.count() // materialize the page store outside the timed region
+
+    import spark.implicits._
+    val t0 = System.nanoTime()
+    val result = Crawler.crawl(spark, pages,
+      PageSynth.robots(spark, synthCfg).toDF(),
+      PageSynth.seeds(synthCfg).toDF("url"),
+      crawlCfg, maxRounds, None, Some(keyed))
+    val fetched = result.metrics.map(_.fetched).sum
+    val deduped = result.metrics.map(_.dedupHits).sum
+    val drainSec = (System.nanoTime() - t0) / 1e9
+    val urlsPerSec = (fetched + deduped) / drainSec
+
+    // ---- per-query wall times ----
+    val skip = sys.env.get("GRAFT_SKIP_QUERIES").isDefined
+    val results: Map[String, Double] =
+      if (skip) Map.empty
+      else SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+        val q0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
+        name -> (System.nanoTime() - q0) / 1e9
+      }.toMap
+
+    val qs = results.toSeq.sortBy(_._1)
+      .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
+    val total = drainSec + results.values.sum
+    val totalS = f"$total%.3f"
+    val upsS = f"$urlsPerSec%.1f"
+    val drainS = f"$drainSec%.3f"
+    println(
+      s"""{"metric":"frontier_drain_plus_queries","value":$totalS,"unit":"sec","queries":$qs,"sf":"$sfDir","frontier":{"urls_per_sec":$upsS,"fetched":$fetched,"dedup_hits":$deduped,"drain_sec":$drainS,"rounds":${result.metrics.size},"pages":$nPages,"hosts":$nHosts,"cpus":$cpus}}""")
     spark.stop()
   }
 }

@@ -1,13 +1,448 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.core.CrawlConfig
+import graft.functions.gf
+import graft.synth.{PageSynth, SynthConfig}
+import graft.frontier.{Crawler, CrawlRound}
+import graft.extract.{Dedup, FacilityExtract}
+import graft.text.TextOps
+import graft.dedup.NearDup
+import graft.ann.Similarity
+import graft.multimodal.MediaOps
+
+/**
+ * Driver contract (SURVEY.md §7): one `queries` entry per implemented
+ * operator from SURVEY.md §2 plus the training-data-pipeline operators;
+ * `oracleSql` gives the DuckDB-equivalent SQL for every SQL-expressible
+ * one (column names/aliases match the Spark output exactly — the driver
+ * sorts columns by name and hashes values).
+ */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+
+  private def T(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  /** Synthetic url per document row — identical string construction in the
+    * DuckDB oracles, so url ops are cross-checkable. */
+  private def docUrl: Column =
+    concat(lit("https://"), col("source"), lit(".example.com/"),
+      col("lang"), lit("/doc-"), col("doc_id"))
+
+  private val docUrlSql =
+    "concat('https://', source, '.example.com/', lang, '/doc-', doc_id)"
+
+  /** words: lowercase letter runs, empties dropped (matches TextOps.words). */
+  private val wordsSql =
+    "list_filter(regexp_split_to_array(lower(text), '[^a-z]+'), w -> w <> '')"
+  private def hitsSql(lang: String): String = {
+    val set = TextOps.stopwords(lang).map(w => s"'$w'").mkString(", ")
+    s"len(list_filter($wordsSql, w -> w IN ($set)))"
+  }
+
+  /** Flagship: a full multi-round crawl over the synthetic Common-Crawl-style
+    * corpus — frontier scoring, salted politeness rank, fetch join, link
+    * discovery, Bloom+exact URL-seen dedup (driver smoke-checks rows>0). */
+  def entry(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    gf.register(spark)
+    val cfg = SynthConfig(nPages = 300L, nHosts = 5)
+    val r = Crawler.crawl(spark,
+      PageSynth.pages(spark, cfg).toDF(),
+      PageSynth.robots(spark, cfg).toDF(),
+      PageSynth.seeds(cfg).toDF("url"),
+      CrawlConfig(perHostBudget = 20, saltBuckets = 4, bloomBuckets = 8),
+      maxRounds = 3)
+    r.order.orderBy("round", "host", "hostRank")
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- relational core (SURVEY.md §2.3-§2.7) ----
+    "q01_agg_lineitem" -> ((s, dir) => // A1: partial+final hash aggregate
+      T(s, dir, "lineitem").groupBy("l_returnflag", "l_linestatus")
+        .agg(count("*").as("cnt"),
+          round(sum("l_quantity"), 2).as("sum_qty"),
+          round(sum("l_extendedprice"), 2).as("sum_price"),
+          round(avg("l_discount"), 4).as("avg_disc"))
+        .orderBy("l_returnflag", "l_linestatus")),
+
+    "q02_join_broadcast" -> ((s, dir) => // J4: broadcast hash join on small dim
+      T(s, dir, "orders")
+        .join(broadcast(T(s, dir, "customer")), col("o_custkey") === col("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(count("*").as("cnt"), round(sum("o_totalprice"), 2).as("revenue"))
+        .orderBy("c_mktsegment")),
+
+    "q03_anti_join" -> ((s, dir) => // J1: the URL-seen anti-join shape
+      T(s, dir, "orders")
+        .join(T(s, dir, "customer").filter(col("c_acctbal") < 0).select("c_custkey"),
+          col("o_custkey") === col("c_custkey"), "left_anti")
+        .groupBy("o_orderstatus").agg(count("*").as("cnt"))
+        .orderBy("o_orderstatus")),
+
+    "q04_semi_join" -> ((s, dir) => // J1 inverse: semi join
+      T(s, dir, "customer")
+        .join(T(s, dir, "orders").filter(col("o_totalprice") > 100000).select("o_custkey"),
+          col("c_custkey") === col("o_custkey"), "left_semi")
+        .groupBy("c_mktsegment").agg(count("*").as("cnt"))
+        .orderBy("c_mktsegment")),
+
+    "q05_argmax_window" -> ((s, dir) => { // W4: argmax per group
+      val w = Window.partitionBy("c_mktsegment")
+        .orderBy(col("c_acctbal").desc, col("c_custkey").asc)
+      T(s, dir, "customer").withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("c_mktsegment"), col("c_custkey"), round(col("c_acctbal"), 2).as("acctbal"))
+        .orderBy("c_mktsegment")
+    }),
+
+    "q06_batch_assign" -> ((s, dir) => { // W6: batch-id assignment window
+      val rn = row_number().over(Window.orderBy("c_custkey"))
+      T(s, dir, "customer")
+        .withColumn("batch_id", floor((rn - 1) / 100.0).cast("long"))
+        .groupBy("batch_id").agg(count("*").as("cnt"))
+        .orderBy("batch_id")
+    }),
+
+    "q07_distinct_count" -> ((s, dir) => // A11: distinct count
+      T(s, dir, "orders").agg(countDistinct("o_custkey").as("n"))),
+
+    "q08_except" -> ((s, dir) => // SO2: set difference
+      T(s, dir, "customer").select("c_custkey")
+        .except(T(s, dir, "orders").select(col("o_custkey").as("c_custkey")))
+        .agg(count("*").as("n"))),
+
+    "q09_mode" -> ((s, dir) => // A7: mode (most frequent)
+      T(s, dir, "events").groupBy("event_type").agg(count("*").as("cnt"))
+        .orderBy(col("cnt").desc, col("event_type").asc).limit(1)),
+
+    "q10_priority_dist" -> ((s, dir) => // A2: distribution count
+      T(s, dir, "orders").groupBy("o_orderpriority").agg(count("*").as("cnt"))
+        .orderBy("o_orderpriority")),
+
+    "q11_first_int_sum" -> ((s, dir) => // A4: sum of first integer in string
+      T(s, dir, "events").agg(
+        sum(when(regexp_extract(col("props"), "([0-9]+)", 1) === "", lit(null))
+          .otherwise(regexp_extract(col("props"), "([0-9]+)", 1)).cast("long")).as("total"))),
+
+    "q12_staleness_filter" -> ((s, dir) => // F10/C14: timestamp staleness filter
+      T(s, dir, "events").filter(col("ts") < lit("2025-06-01").cast("timestamp"))
+        .groupBy("event_type").agg(count("*").as("cnt"))
+        .orderBy("event_type")),
+
+    "q13_event_windows" -> ((s, dir) => // T8: tumbling event-time windows (batch)
+      T(s, dir, "events")
+        .groupBy(date_trunc("hour", col("ts")).cast("long").as("hr"))
+        .agg(count("*").as("cnt"), round(sum("value"), 2).as("sum_val"))
+        .orderBy("hr")),
+
+    "q17_case_bucket" -> ((s, dir) => // A6: confidence buckets (manual width_bucket)
+      T(s, dir, "events")
+        .withColumn("bucket", when(col("value") >= 0.8, "high")
+          .when(col("value") >= 0.5, "medium").otherwise("low"))
+        .groupBy("bucket").agg(count("*").as("cnt"), round(avg("value"), 4).as("avg_val"))
+        .orderBy("bucket")),
+
+    // ---- crawl-shaped ops over synthesized urls (SURVEY.md §2.2/§2.5/§2.8) ----
+    "q14_url_host_dist" -> ((s, dir) => // C1/F1: host extraction + distribution
+      T(s, dir, "documents").withColumn("url", docUrl)
+        .withColumn("host", regexp_extract(col("url"), "^https?://([^/]+)/", 1))
+        .groupBy("host").agg(count("*").as("cnt"))
+        .orderBy("host")),
+
+    "q15_url_score" -> ((s, dir) => // C23-shape: declarative CASE-sum scoring
+      T(s, dir, "documents").withColumn("url", docUrl)
+        .withColumn("score",
+          (when(col("lang") === "en", 10).otherwise(0) +
+           when(col("n_chars") > 200, 5).otherwise(0) -
+           when(col("url").contains("/doc-"), 2).otherwise(0)).cast("long"))
+        .select("doc_id", "score").orderBy("doc_id")),
+
+    "q16_politeness_rank" -> ((s, dir) => { // W2: per-host budget rank
+      val w = Window.partitionBy("source")
+        .orderBy(col("n_chars").desc, col("doc_id").asc)
+      T(s, dir, "documents").withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 5)
+        .select(col("source"), col("rank"), col("doc_id"))
+        .orderBy("source", "rank")
+    }),
+
+    "q18_frontier_stats" -> ((s, dir) => // A8: frontier stats (count, mean score)
+      T(s, dir, "documents")
+        .withColumn("score",
+          (when(col("lang") === "en", 10).otherwise(0) +
+           when(col("n_chars") > 200, 5).otherwise(0)).cast("long"))
+        .groupBy("lang").agg(count("*").as("cnt"), round(avg("score"), 4).as("avg_score"))
+        .orderBy("lang")),
+
+    // ---- text-analysis pipeline (training-data ops) ----
+    "q19_token_counts" -> ((s, dir) =>
+      T(s, dir, "documents")
+        .select(col("doc_id"),
+          TextOps.tokenCountWs(col("text")).as("n_tok_ws"),
+          TextOps.tokenCountBpe(col("text")).as("n_tok_bpe"))
+        .orderBy("doc_id")),
+
+    "q20_quality" -> ((s, dir) =>
+      T(s, dir, "documents")
+        .select(col("doc_id"),
+          round(TextOps.punctRatio(col("text")), 4).as("punct_ratio"),
+          round(TextOps.stopwordRatio(col("text")), 4).as("stopword_ratio"),
+          round(TextOps.meanWordLen(col("text")), 4).as("mean_word_len"),
+          TextOps.qualityScore(col("text")).as("quality"))
+        .orderBy("doc_id")),
+
+    "q21_langid" -> ((s, dir) =>
+      T(s, dir, "documents")
+        .select(col("doc_id"), TextOps.langIdFirstMatch(col("text")).as("pred_lang"))
+        .orderBy("doc_id")),
+
+    "q22_fingerprint_dups" -> ((s, dir) =>
+      T(s, dir, "documents")
+        .groupBy(TextOps.fingerprint(col("text")).as("fp"))
+        .agg(count("*").as("cnt")).filter(col("cnt") > 1)
+        .orderBy("fp")),
+
+    "q23_dedup_survivors" -> ((s, dir) => // exact dedup: one survivor per fingerprint
+      T(s, dir, "documents")
+        .groupBy(TextOps.fingerprint(col("text")).as("fp"))
+        .agg(min("doc_id").as("survivor"))
+        .agg(count("*").as("n"))),
+
+    "q24_vocab" -> ((s, dir) =>
+      T(s, dir, "documents")
+        .select(col("doc_id"), size(array_distinct(TextOps.words(col("text")))).as("n_vocab"))
+        .orderBy("doc_id")),
+
+    // ---- near-dup dedup family (rows-only: hash fns beyond DuckDB) ----
+    "q25_minhash_neardup" -> ((s, dir) => { // MinHash+LSH → verified Jaccard pairs
+      val docs = T(s, dir, "documents").select("doc_id", "text")
+      val withCopies = docs.unionByName(
+        docs.withColumn("doc_id", col("doc_id") + 1000000L))
+      NearDup.nearDupPairs(withCopies, "doc_id", "text", threshold = 0.8)
+        .withColumn("jaccard", round(col("jaccard"), 4))
+        .orderBy("idA", "idB")
+    }),
+
+    "q26_simhash_pairs" -> ((s, dir) => { // SimHash near-dup candidates
+      val docs = T(s, dir, "documents").select("doc_id", "text").limit(200)
+      val withCopies = docs.unionByName(
+        docs.withColumn("doc_id", col("doc_id") + 1000000L))
+      NearDup.simhashPairs(withCopies, "doc_id", "text", maxHamming = 3)
+        .orderBy("idA", "idB")
+    }),
+
+    "q27_jaccard_consecutive" -> ((s, dir) => { // n-gram Jaccard as a scalar op
+      val docs = T(s, dir, "documents").select("doc_id", "text")
+      val a = docs.select(col("doc_id"), col("text").as("textA"))
+      val b = docs.select((col("doc_id") - 1).as("doc_id"), col("text").as("textB"))
+      a.join(b, Seq("doc_id"))
+        .select(col("doc_id"), round(NearDup.jaccard(col("textA"), col("textB")), 4).as("jac"))
+        .orderBy("doc_id")
+    }),
+
+    // ---- similarity search over embeddings ----
+    "q28_ann_topk" -> ((s, dir) => { // brute-force exact cosine top-k
+      val vecs = T(s, dir, "embeddings")
+      val q = vecs.filter(col("vec_id") === 0)
+        .select("embedding").collect()(0).getSeq[Float](0)
+      Similarity.topK(vecs, "vec_id", "embedding", q, 10)
+        .withColumn("cos", round(col("cos"), 4))
+        .orderBy(col("cos").desc, col("vec_id").asc)
+    }),
+
+    "q29_ann_lsh" -> ((s, dir) => { // LSH-bucketed ANN (scale path)
+      val vecs = T(s, dir, "embeddings")
+      val q = vecs.filter(col("vec_id") === 0)
+        .select("embedding").collect()(0).getSeq[Float](0)
+      Similarity.annLsh(vecs, "vec_id", "embedding", q, 10, planes = 6)
+        .withColumn("cos", round(col("cos"), 4))
+        .orderBy(col("cos").desc, col("vec_id").asc)
+    }),
+
+    "q30_embedding_neardup" -> ((s, dir) => { // embedding-cosine near-dup pairs
+      val vecs = T(s, dir, "embeddings").select("vec_id", "embedding")
+      val withCopies = vecs.unionByName(
+        vecs.withColumn("vec_id", col("vec_id") + 1000000L))
+      Similarity.embeddingNearDups(withCopies, "vec_id", "embedding",
+          threshold = 0.98, planes = 8, dim = 64)
+        .withColumn("cos", round(col("cos"), 4))
+        .orderBy("idA", "idB")
+    }),
+
+    // ---- crawl engine on the synthetic page store (custom expressions) ----
+    "q31_canonicalize" -> ((s, dir) => { // C2/C3: canonicalize + resolve + url_id
+      gf.register(s)
+      T(s, dir, "documents").withColumn("url",
+          concat(lit("HTTPS://"), upper(col("source")), lit(".Example.COM:443/a/../"),
+            col("lang"), lit("/doc-"), col("doc_id"), lit("#frag")))
+        .select(col("doc_id"), gf.canonicalize_url(col("url")).as("canon"),
+          gf.url_id(col("url")).as("url_hash"),
+          gf.resolve_url(gf.canonicalize_url(col("url")), lit("../up/page?b=2&a=1")).as("resolved"))
+        .orderBy("doc_id")
+    }),
+
+    "q32_crawl_round" -> ((s, dir) => { // one full frontier round, all plumbing
+      import s.implicits._
+      gf.register(s)
+      val cfg = SynthConfig(nPages = 400L, nHosts = 5)
+      val pages = Crawler.keyPages(PageSynth.pages(s, cfg).toDF(), 8)
+      val seeds = CrawlRound.seedFrontier(PageSynth.seeds(cfg).toDF("url"))
+      val r = CrawlRound.run(1, seeds, pages, PageSynth.robots(s, cfg).toDF(),
+        CrawlConfig(perHostBudget = 20, saltBuckets = 4))
+      r.order.unionByName(
+        r.discovered.select(lit(2).as("round"), col("host"),
+          lit(0).as("hostRank"), col("canonUrl"), col("urlHash"),
+          col("score"), lit(false).as("fetchOk")))
+        .orderBy("round", "host", "hostRank", "canonUrl")
+    }),
+
+    "q33_extract_facilities" -> ((s, dir) => { // extraction cascade + dedup
+      gf.register(s)
+      val cfg = SynthConfig(nPages = 400L, nHosts = 5)
+      val pages = PageSynth.pages(s, cfg).toDF()
+        .withColumn("canonUrl", gf.canonicalize_url(col("url")))
+      Dedup(FacilityExtract.extract(pages))
+        .select("sourceUrl", "name", "phone", "city", "state", "zipCode", "method")
+        .orderBy("sourceUrl")
+    }),
+
+    "q34_media_features" -> ((s, dir) => { // multimodal plumbing (stub codec)
+      val media = MediaOps.synthMedia(s, 300L)
+      MediaOps.imageFeatures(media).toDF()
+        .select(col("media_id"), col("width"), col("height"),
+          round(col("mean_luma"), 4).as("mean_luma"), size(col("embedding")).as("dim"))
+        .orderBy("media_id")
+    })
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q01_agg_lineitem" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS cnt,
+        | round(sum(l_quantity),2) AS sum_qty,
+        | round(sum(l_extendedprice),2) AS sum_price,
+        | round(avg(l_discount),4) AS avg_disc
+        |FROM lineitem GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
+    "q02_join_broadcast" ->
+      """SELECT c_mktsegment, count(*) AS cnt, round(sum(o_totalprice),2) AS revenue
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q03_anti_join" ->
+      """SELECT o_orderstatus, count(*) AS cnt FROM orders o
+        |WHERE NOT EXISTS (SELECT 1 FROM customer c
+        |  WHERE c.c_custkey = o.o_custkey AND c.c_acctbal < 0)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q04_semi_join" ->
+      """SELECT c_mktsegment, count(*) AS cnt FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o
+        |  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 100000)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q05_argmax_window" ->
+      """SELECT c_mktsegment, c_custkey, round(c_acctbal,2) AS acctbal FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY c_mktsegment
+        |    ORDER BY c_acctbal DESC, c_custkey) AS rn FROM customer)
+        |WHERE rn = 1 ORDER BY c_mktsegment""".stripMargin,
+    "q06_batch_assign" ->
+      """SELECT batch_id, count(*) AS cnt FROM (
+        |  SELECT CAST(floor((row_number() OVER (ORDER BY c_custkey) - 1) / 100.0) AS BIGINT) AS batch_id
+        |  FROM customer)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q07_distinct_count" ->
+      "SELECT count(DISTINCT o_custkey) AS n FROM orders",
+    "q08_except" ->
+      """SELECT count(*) AS n FROM (
+        |  SELECT c_custkey FROM customer EXCEPT SELECT o_custkey FROM orders)""".stripMargin,
+    "q09_mode" ->
+      """SELECT event_type, count(*) AS cnt FROM events
+        |GROUP BY 1 ORDER BY cnt DESC, event_type ASC LIMIT 1""".stripMargin,
+    "q10_priority_dist" ->
+      "SELECT o_orderpriority, count(*) AS cnt FROM orders GROUP BY 1 ORDER BY 1",
+    "q11_first_int_sum" ->
+      """SELECT CAST(sum(CAST(nullif(regexp_extract(props, '([0-9]+)', 1), '') AS BIGINT)) AS BIGINT) AS total
+        |FROM events""".stripMargin,
+    "q12_staleness_filter" ->
+      """SELECT event_type, count(*) AS cnt FROM events
+        |WHERE ts < TIMESTAMP '2025-06-01' GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q13_event_windows" ->
+      """SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hr, count(*) AS cnt,
+        | round(sum(value),2) AS sum_val
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q17_case_bucket" ->
+      """SELECT bucket, count(*) AS cnt, round(avg(value),4) AS avg_val FROM (
+        |  SELECT value, CASE WHEN value >= 0.8 THEN 'high'
+        |    WHEN value >= 0.5 THEN 'medium' ELSE 'low' END AS bucket FROM events)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q14_url_host_dist" ->
+      s"""SELECT host, count(*) AS cnt FROM (
+         |  SELECT regexp_extract($docUrlSql, '^https?://([^/]+)/', 1) AS host
+         |  FROM documents)
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q15_url_score" ->
+      s"""SELECT doc_id, CAST(
+         |  (CASE WHEN lang = 'en' THEN 10 ELSE 0 END) +
+         |  (CASE WHEN n_chars > 200 THEN 5 ELSE 0 END) -
+         |  (CASE WHEN contains($docUrlSql, '/doc-') THEN 2 ELSE 0 END)
+         | AS BIGINT) AS score
+         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q16_politeness_rank" ->
+      """SELECT source, rank, doc_id FROM (
+        |  SELECT source, doc_id, row_number() OVER (PARTITION BY source
+        |    ORDER BY n_chars DESC, doc_id ASC) AS rank FROM documents)
+        |WHERE rank <= 5 ORDER BY source, rank""".stripMargin,
+    "q18_frontier_stats" ->
+      """SELECT lang, count(*) AS cnt, round(avg(score),4) AS avg_score FROM (
+        |  SELECT lang, (CASE WHEN lang = 'en' THEN 10 ELSE 0 END) +
+        |    (CASE WHEN n_chars > 200 THEN 5 ELSE 0 END) AS score FROM documents)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q19_token_counts" ->
+      """SELECT doc_id,
+        | CASE WHEN length(trim(text)) = 0 THEN 0
+        |   ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tok_ws,
+        | len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS n_tok_bpe
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q20_quality" -> {
+      val words = wordsSql
+      val hits = hitsSql("en")
+      s"""SELECT doc_id,
+         | round(CASE WHEN length(text) = 0 THEN 0.0
+         |   ELSE (length(text) - length(regexp_replace(text, '[.,;:!?''"()-]', '', 'g'))) * 1.0 / length(text) END, 4) AS punct_ratio,
+         | round(CASE WHEN len($words) = 0 THEN 0.0
+         |   ELSE $hits * 1.0 / len($words) END, 4) AS stopword_ratio,
+         | round(CASE WHEN len($words) = 0 THEN 0.0
+         |   ELSE list_sum(list_transform($words, w -> length(w))) * 1.0 / len($words) END, 4) AS mean_word_len,
+         | round(CAST(
+         |  (CASE WHEN (CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len(regexp_split_to_array(trim(text), '\\s+')) END) BETWEEN 10 AND 100000 THEN 0.4 ELSE 0.0 END) +
+         |  (CASE WHEN (CASE WHEN len($words) = 0 THEN 0.0 ELSE $hits * 1.0 / len($words) END) >= 0.05 THEN 0.3 ELSE 0.0 END) +
+         |  (CASE WHEN (CASE WHEN length(text) = 0 THEN 0.0 ELSE (length(text) - length(regexp_replace(text, '[.,;:!?''"()-]', '', 'g'))) * 1.0 / length(text) END) <= 0.2 THEN 0.2 ELSE 0.0 END) +
+         |  (CASE WHEN (CASE WHEN len($words) = 0 THEN 0.0 ELSE list_sum(list_transform($words, w -> length(w))) * 1.0 / len($words) END) BETWEEN 3.0 AND 10.0 THEN 0.1 ELSE 0.0 END)
+         | AS DOUBLE), 1) AS quality
+         |FROM documents ORDER BY doc_id""".stripMargin
+    },
+    "q21_langid" -> {
+      s"""SELECT doc_id,
+         | CASE WHEN ${hitsSql("en")} >= 2 THEN 'en'
+         |      WHEN ${hitsSql("es")} >= 2 THEN 'es'
+         |      WHEN ${hitsSql("de")} >= 2 THEN 'de'
+         |      WHEN ${hitsSql("fr")} >= 2 THEN 'fr'
+         |      ELSE 'und' END AS pred_lang
+         |FROM documents ORDER BY doc_id""".stripMargin
+    },
+    "q22_fingerprint_dups" ->
+      """SELECT fp, count(*) AS cnt FROM (
+        |  SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp FROM documents)
+        |GROUP BY 1 HAVING count(*) > 1 ORDER BY 1""".stripMargin,
+    "q23_dedup_survivors" ->
+      """SELECT count(*) AS n FROM (
+        |  SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp, min(doc_id) AS survivor
+        |  FROM documents GROUP BY 1)""".stripMargin,
+    "q24_vocab" ->
+      s"""SELECT doc_id, len(list_distinct($wordsSql)) AS n_vocab
+         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q28_ann_topk" ->
+      """WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0)
+        |SELECT vec_id, round(list_cosine_similarity(embedding::DOUBLE[], (SELECT qv FROM q)), 4) AS cos
+        |FROM embeddings ORDER BY cos DESC, vec_id ASC LIMIT 10""".stripMargin
+  )
 }

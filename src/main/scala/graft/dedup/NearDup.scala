@@ -1,0 +1,153 @@
+package graft.dedup
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.text.TextOps
+
+/**
+ * Near-duplicate detection for webtext at training-data scale:
+ *   - exact: fingerprint groupBy (see TextOps.fingerprint)
+ *   - MinHash + LSH: shingle → minhash signature → band → bucket equi-join
+ *   - SimHash: 64-bit sign-of-weighted-bits, candidates via band buckets
+ *   - n-gram Jaccard: exact verify on LSH candidates
+ * All shingle/perm hashing is seeded splitmix64 — deterministic across
+ * cluster sizes. Candidate generation is always an equi-join on a bucket
+ * key (never a cross-join), which is what keeps this O(n·bands) shuffle
+ * instead of O(n²) at 100 TB.
+ */
+object NearDup {
+
+  // ---- shingling ----
+
+  /** Word k-shingle hashes (distinct) of a text column. */
+  def shingleHashes(text: Column, k: Int = 3): Column = {
+    val ws = TextOps.words(text)
+    when(size(ws) < k, array(xxhash64(concat_ws(" ", ws))))
+      .otherwise(array_distinct(transform(
+        sequence(lit(0), size(ws) - k),
+        i => xxhash64(concat_ws(" ", slice(ws, i + 1, lit(k)))))))
+  }
+
+  // ---- MinHash ----
+
+  /** MinHash signature: array of `numPerms` longs. "Permutation" p is
+    * xxhash64(shingleHash, p) — a fresh 64-bit universal hash per perm
+    * with no overflow under ANSI arithmetic. */
+  def minhashSignature(text: Column, numPerms: Int = 32, k: Int = 3): Column = {
+    val sh = shingleHashes(text, k)
+    array((0 until numPerms).map { p =>
+      array_min(transform(sh, h => xxhash64(h, lit(p))))
+    }: _*)
+  }
+
+  /**
+   * LSH banding: signature split into `bands` bands of `numPerms/bands`
+   * rows; each band hashed to a bucket key. Returns (doc columns…, band,
+   * bucket) — one row per band, ready for the bucket equi-join.
+   */
+  def lshBands(docs: DataFrame, textCol: String, numPerms: Int = 32,
+               bands: Int = 8, k: Int = 3): DataFrame = {
+    val rows = numPerms / bands
+    val withSig = docs.withColumn("sig", minhashSignature(col(textCol), numPerms, k))
+    withSig
+      .select(col("*"), posexplode(array((0 until bands).map { b =>
+        xxhash64(concat_ws(",", transform(slice(col("sig"), b * rows + 1, rows),
+          x => x.cast("string"))))
+      }: _*)).as(Seq("band", "bucket")))
+      .drop("sig")
+  }
+
+  /**
+   * MinHash-LSH candidate pairs (idA < idB), deduplicated across bands.
+   * Pairs sharing any band bucket become candidates.
+   */
+  def lshCandidates(docs: DataFrame, idCol: String, textCol: String,
+                    numPerms: Int = 32, bands: Int = 8, k: Int = 3): DataFrame = {
+    val banded = lshBands(docs.select(idCol, textCol), textCol, numPerms, bands, k)
+      .select(col(idCol).as("id"), col("band"), col("bucket"))
+    val a = banded.select(col("id").as("idA"), col("band"), col("bucket"))
+    val b = banded.select(col("id").as("idB"), col("band"), col("bucket"))
+    a.join(b, Seq("band", "bucket"))
+      .filter(col("idA") < col("idB"))
+      .select("idA", "idB").distinct()
+  }
+
+  /** Exact Jaccard similarity between two texts' shingle sets. */
+  def jaccard(textA: Column, textB: Column, k: Int = 3): Column = {
+    val sa = shingleHashes(textA, k)
+    val sb = shingleHashes(textB, k)
+    val inter = size(array_intersect(sa, sb))
+    val uni = size(array_union(sa, sb))
+    when(uni === 0, 0.0).otherwise(inter.cast("double") / uni)
+  }
+
+  /**
+   * MinHash-LSH near-dup pairs verified by exact n-gram Jaccard ≥ threshold.
+   * The verify join rehydrates text only for candidate ids (semi-join
+   * pattern — at scale the candidate set is ≪ corpus).
+   */
+  def nearDupPairs(docs: DataFrame, idCol: String, textCol: String,
+                   threshold: Double = 0.8, numPerms: Int = 32, bands: Int = 8,
+                   k: Int = 3): DataFrame = {
+    val cands = lshCandidates(docs, idCol, textCol, numPerms, bands, k)
+    val txt = docs.select(col(idCol), col(textCol))
+    cands
+      .join(txt.select(col(idCol).as("idA"), col(textCol).as("textA")), Seq("idA"))
+      .join(txt.select(col(idCol).as("idB"), col(textCol).as("textB")), Seq("idB"))
+      .withColumn("jaccard", jaccard(col("textA"), col("textB"), k))
+      .filter(col("jaccard") >= threshold)
+      .select(col("idA"), col("idB"), col("jaccard"))
+  }
+
+  /** Survivor filter: drop the larger id of every verified near-dup pair. */
+  def dropNearDups(docs: DataFrame, idCol: String, textCol: String,
+                   threshold: Double = 0.8): DataFrame = {
+    val dups = nearDupPairs(docs, idCol, textCol, threshold)
+      .select(col("idB").as(idCol)).distinct()
+    docs.join(dups, Seq(idCol), "left_anti")
+  }
+
+  // ---- SimHash ----
+
+  /**
+   * 64-bit SimHash over word hashes: bit i of the result is 1 iff the sum
+   * over tokens of ±1 (per token-hash bit i) is positive. Pure Catalyst:
+   * aggregate over the token array folding a 64-slot counter array.
+   */
+  def simhash64(text: Column): Column = {
+    val tokens = transform(TextOps.words(text), w => xxhash64(w))
+    // per-token ±1 bit vector (shift amounts are Scala literals)
+    def bitsOf(t: Column): Column = array((0 until 64).map(i =>
+      when(shiftright(t, i).bitwiseAND(1) === 1, 1).otherwise(-1)): _*)
+    val counters = aggregate(
+      tokens,
+      array_repeat(lit(0), 64),
+      (acc, t) => zip_with(acc, bitsOf(t), (c, b) => c + b))
+    (0 until 64).map(i =>
+      when(element_at(counters, i + 1) > 0, lit(1L << i)).otherwise(lit(0L)))
+      .reduce((a, b) => a.bitwiseOR(b))
+  }
+
+  /** Hamming distance between two 64-bit simhashes. */
+  def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /**
+   * SimHash near-dup pairs: candidates share one of four 16-bit chunks
+   * (any pair within Hamming ≤ 3 of a 64-bit key must agree on ≥1 chunk),
+   * verified by full Hamming distance ≤ maxHamming.
+   */
+  def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
+                   maxHamming: Int = 3): DataFrame = {
+    val hashed = docs.select(col(idCol).as("id"), simhash64(col(textCol)).as("sh"))
+    val chunked = hashed.select(col("id"), col("sh"),
+      posexplode(array((0 until 4).map(c =>
+        shiftright(col("sh"), c * 16).bitwiseAND(0xFFFFL)): _*)).as(Seq("chunk", "ckey")))
+    val a = chunked.select(col("id").as("idA"), col("sh").as("shA"), col("chunk"), col("ckey"))
+    val b = chunked.select(col("id").as("idB"), col("sh").as("shB"), col("chunk"), col("ckey"))
+    a.join(b, Seq("chunk", "ckey"))
+      .filter(col("idA") < col("idB"))
+      .select(col("idA"), col("idB"), hamming64(col("shA"), col("shB")).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+}

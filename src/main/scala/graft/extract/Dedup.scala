@@ -1,0 +1,98 @@
+package graft.extract
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.functions.gf
+
+/**
+ * Facility deduplication (SURVEY.md J2/J3) — the reference's streaming
+ * dedup (/root/reference/deduplicator.py:86-164) re-expressed as set
+ * semantics: exact signature dedup is a grouped argmin (not an in-heap
+ * seen-set), fuzzy dedup is a *blocked* theta-join (equi-join on a block
+ * key, similarity predicate as a column expression) instead of the
+ * reference's last-100 ring buffer — exact where the reference was a
+ * memory-bound approximation (SURVEY.md W5 note).
+ */
+object Dedup {
+
+  /** Add the reference's signature columns (deduplicator.py:15-52). */
+  def withSignatures(facilities: DataFrame): DataFrame =
+    facilities
+      .withColumn("phoneSig", FieldExtract.phoneSig(col("phone")))
+      .withColumn("addressSig", FieldExtract.addressSig(col("address"), col("city"), col("zipCode")))
+      .withColumn("fullSig", FieldExtract.fullSig(col("phone"), col("address"),
+        col("city"), col("zipCode"), col("name")))
+
+  /**
+   * Exact dedup: a facility is a duplicate if its fullSig OR its
+   * (phoneSig+addressSig) pair was already emitted (deduplicator.py:86-122).
+   * Survivor = deterministic min(sourceUrl) per key. Two grouped argmins,
+   * no driver state.
+   */
+  def exact(facilities: DataFrame): DataFrame = {
+    val sigs = withSignatures(facilities)
+    val byFull = Window.partitionBy(col("fullSig")).orderBy(col("sourceUrl").asc)
+    val pa = when(col("phoneSig") =!= "" && col("addressSig") =!= "",
+      concat(col("phoneSig"), lit("|"), col("addressSig"))).otherwise(col("fullSig"))
+    val byPhoneAddr = Window.partitionBy(pa).orderBy(col("sourceUrl").asc)
+    sigs
+      .withColumn("rFull", row_number().over(byFull))
+      .withColumn("rPA", row_number().over(byPhoneAddr))
+      .filter(col("rFull") === 1 && col("rPA") === 1)
+      .drop("rFull", "rPA")
+  }
+
+  /**
+   * Fuzzy dedup (deduplicator.py:124-164): weighted similarity
+   * phone(0.4) + address(0.3) + name(0.2) + zip(0.1) ≥ threshold → dup.
+   * Sub-scores: exact phone digits match, char-overlap on address/name
+   * (deduplicator.py:166-182), exact zip match.
+   *
+   * Scaled as a blocked theta-join: candidate pairs only within a block
+   * key (zip, else first 4 chars of normalized name) — the full O(n²)
+   * cross-join never materializes. Survivor = min(sourceUrl) of each
+   * connected pair (one pass; transitive chains collapse per block).
+   */
+  def fuzzy(facilities: DataFrame, threshold: Double = 0.85): DataFrame = {
+    val base = facilities
+      .withColumn("nameNorm", FieldExtract.normKey(col("name")))       // lower + strip punct (deduplicator.py:152)
+      .withColumn("addrNorm", lower(coalesce(col("address"), lit("")))) // lower only (deduplicator.py:141)
+      .withColumn("digits", regexp_replace(coalesce(col("phone"), lit("")), "[^0-9]", ""))
+      .withColumn("block", coalesce(col("zipCode"), substring(col("nameNorm"), 1, 4)))
+
+    val a = base.select(col("block"), col("sourceUrl").as("aUrl"),
+      col("nameNorm").as("aName"), col("addrNorm").as("aAddr"),
+      col("digits").as("aPhone"), col("zipCode").as("aZip"))
+    val b = base.select(col("block"), col("sourceUrl").as("bUrl"),
+      col("nameNorm").as("bName"), col("addrNorm").as("bAddr"),
+      col("digits").as("bPhone"), col("zipCode").as("bZip"))
+
+    // deduplicator.py:128-163: exact field match scores full weight; fuzzy
+    // char-overlap ≥ 0.8 (addr) / ≥ 0.7 (name) scores weight·0.7 / weight·0.5
+    val phoneScore = when(col("aPhone") =!= "" && col("aPhone") === col("bPhone"), 0.4).otherwise(0.0)
+    val addrScore = when(col("aAddr") === "" || col("bAddr") === "", 0.0)
+      .when(col("aAddr") === col("bAddr"), 0.3)
+      .when(gf.char_overlap_sim(col("aAddr"), col("bAddr")) >= 0.8, 0.3 * 0.7)
+      .otherwise(0.0)
+    val nameScore = when(col("aName") === "" || col("bName") === "", 0.0)
+      .when(col("aName") === col("bName"), 0.2)
+      .when(gf.char_overlap_sim(col("aName"), col("bName")) >= 0.7, 0.2 * 0.5)
+      .otherwise(0.0)
+    val zip5 = (c: Column) => substring(coalesce(c, lit("")), 1, 5)
+    val zipScore = when(zip5(col("aZip")) =!= "" && zip5(col("aZip")) === zip5(col("bZip")), 0.1)
+      .otherwise(0.0)
+
+    // aUrl < bUrl: each unordered pair once; b is the candidate duplicate
+    val dups = a.join(b, Seq("block"))
+      .filter(col("aUrl") < col("bUrl"))
+      .filter(phoneScore + addrScore + nameScore + zipScore >= threshold)
+      .select(col("bUrl").as("sourceUrl")).distinct()
+
+    facilities.join(dups, Seq("sourceUrl"), "left_anti")
+  }
+
+  /** Full pipeline: exact signatures first, then fuzzy within blocks. */
+  def apply(facilities: DataFrame, threshold: Double = 0.85): DataFrame =
+    fuzzy(exact(facilities).drop("phoneSig", "addressSig", "fullSig"), threshold)
+}

@@ -21,6 +21,16 @@ object gf {
   def char_overlap_sim(a: Column, b: Column): Column =
     column(CharOverlapSim(expression(a), expression(b)))
 
+  /** Partitioned-Bloom seen-set aggregate (SURVEY.md §2.10): builds a
+    * serialized BloomFilter over LONG inputs. */
+  def bloom_agg(values: Column, expectedItems: Long, fpp: Double = 0.01): Column =
+    column(BloomFilterAgg(expression(values), expression(lit(expectedItems)), fpp)
+      .toAggregateExpression())
+
+  /** Test a LONG against a serialized BloomFilter column. */
+  def might_contain(bloom: Column, value: Column): Column =
+    column(MightContainLong(expression(bloom), expression(value)))
+
   /** URL identity per north rule: xxhash64 of canonical form. */
   def url_id(url: Column): Column = xxhash64(canonicalize_url(url))
 

@@ -1,0 +1,111 @@
+package graft.frontier
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.SparkTestBase
+import graft.core.CrawlConfig
+import graft.synth.{PageSynth, Synth, SynthConfig}
+import graft.functions.gf
+
+class CrawlSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val synthCfg = SynthConfig(nPages = 800L, nHosts = 6, hotFrac = 0.5)
+  private val crawlCfg = CrawlConfig(maxDepth = 6, perHostBudget = 25, saltBuckets = 4,
+    bloomBuckets = 8)
+  private lazy val pages = PageSynth.pages(spark, synthCfg).toDF()
+  private lazy val robots = PageSynth.robots(spark, synthCfg).toDF()
+  private lazy val seeds = PageSynth.seeds(synthCfg).toDF("url")
+  private lazy val keyed = Crawler.keyPages(pages, 4)
+
+  private def runCrawl(rounds: Int, store: Option[FrontierStore] = None) =
+    Crawler.crawl(spark, pages, robots, seeds, crawlCfg, rounds, store, Some(keyed))
+  // one shared full crawl reused by assertions that only read its output
+  private lazy val fullCrawl = runCrawl(8)
+
+  test("synthetic corpus is closed: every extracted link resolves to a page or a known host root") {
+    val hashes = keyed.select("urlHash").as[Long].collect().toSet
+    // sample some pages and check their outlinks exist in the corpus
+    val linkHashes = keyed.limit(200)
+      .select(explode(regexp_extract_all(col("html").cast("string"),
+        lit("href=[\"']([^\"']+)[\"']"), lit(1))).as("href"), col("url"))
+      .filter(!$"href".rlike("^(mailto:|tel:|javascript:)"))
+      .select(gf.url_id(gf.resolve_url(gf.canonicalize_url($"url"), $"href")).as("h"))
+      .as[Long].collect()
+    assert(linkHashes.nonEmpty)
+    assert(linkHashes.forall(hashes.contains), "dangling link in synthetic corpus")
+  }
+
+  test("crawl fetches pages, politeness budget holds, no url fetched twice") {
+    val order = fullCrawl.order.cache()
+    val total = order.count()
+    assert(total > 100, s"expected a substantive crawl, got $total fetches")
+    // politeness: ≤ B fetches per (host, round)
+    val overBudget = order.groupBy("round", "host").count()
+      .filter($"count" > crawlCfg.perHostBudget).count()
+    assert(overBudget == 0)
+    // seen-set correctness: no urlHash fetched twice across all rounds
+    val dupFetches = order.groupBy("urlHash").count().filter($"count" > 1).count()
+    assert(dupFetches == 0)
+    // every fetch hit the page store (corpus is closed)
+    assert(order.filter(!$"fetchOk").count() == 0)
+    // all 6 hosts reached via cross-host root links
+    assert(order.select("host").distinct().count() == synthCfg.nHosts)
+    order.unpersist()
+  }
+
+  test("crawl order is deterministic across parallelism levels") {
+    def orderRows(parts: Int): Seq[(Int, String, Int, String)] = {
+      val old = spark.conf.get("spark.sql.shuffle.partitions")
+      spark.conf.set("spark.sql.shuffle.partitions", parts.toString)
+      try {
+        val r = Crawler.crawl(spark, pages, robots, seeds, crawlCfg, 3, None, None)
+        r.order.select($"round", $"host", $"hostRank", $"canonUrl")
+          .as[(Int, String, Int, String)].collect().sortBy(t => (t._1, t._2, t._3)).toSeq
+      } finally spark.conf.set("spark.sql.shuffle.partitions", old)
+    }
+    val a = orderRows(2)
+    val b = orderRows(7)
+    assert(a == b, "crawl order must not depend on partitioning")
+  }
+
+  test("bloom pre-filter agrees with the exact anti-join") {
+    val seen = keyed.select("urlHash").limit(400)
+    val cands = CrawlRound.seedFrontier(
+      keyed.select(col("url")).limit(900).toDF())
+    val exact = cands.join(seen, Seq("urlHash"), "left_anti")
+      .select("urlHash").as[Long].collect().toSet
+    val viaBloom = SeenSet.filterUnseen(cands, seen, 400L, crawlCfg)
+      .select("urlHash").as[Long].collect().toSet
+    assert(viaBloom == exact)
+  }
+
+  test("resume from checkpoint: interrupted crawl equals uninterrupted") {
+    val dirA = java.nio.file.Files.createTempDirectory("graft-store-a").toString
+    val dirB = java.nio.file.Files.createTempDirectory("graft-store-b").toString
+    runCrawl(5, Some(new FrontierStore(spark, dirA)))
+    // interrupted: run 3 rounds, then resume to 6 with a fresh store handle
+    runCrawl(2, Some(new FrontierStore(spark, dirB)))
+    runCrawl(5, Some(new FrontierStore(spark, dirB)))
+    def key(df: DataFrame) = df.select($"round", $"host", $"hostRank", $"canonUrl")
+      .as[(Int, String, Int, String)].collect().sortBy(t => (t._1, t._2, t._3)).toSeq
+    val sA = new FrontierStore(spark, dirA)
+    val sB = new FrontierStore(spark, dirB)
+    assert(sA.lastCommittedRound == sB.lastCommittedRound)
+    val k = sA.lastCommittedRound.get
+    assert(key(sA.readOrderUpTo(k)) == key(sB.readOrderUpTo(k)))
+    assert(sA.readSeenUpTo(k).select("urlHash").as[Long].collect().toSet ==
+      sB.readSeenUpTo(k).select("urlHash").as[Long].collect().toSet)
+  }
+
+  test("extract_text expression output equals the synthetic golden text column") {
+    val mismatches = pages
+      .withColumn("extracted", gf.extract_text($"html"))
+      .filter($"extracted" =!= $"text").count()
+    assert(mismatches == 0)
+  }
+
+  test("robots disallow is enforced: no /careers/ url ever fetched") {
+    assert(fullCrawl.order.filter($"canonUrl".contains("/careers/")).count() == 0)
+  }
+}
