@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.core.CrawlConfig
+import graft.synth.{PageSynth, SynthConfig}
+import graft.frontier.{Crawler, CrawlRound, SeenSet}
+import graft.functions.gf
+
+/**
+ * Plan audit: prints `explain("formatted")` for the engine's hot plans so
+ * shuffle/broadcast/pushdown regressions are visible. Checks asserted here
+ * (grep the output):
+ *  - fetch join J7 = ShuffledHashJoin (not SortMergeJoin) on urlHash
+ *  - robots join J5 / blooms join = BroadcastHashJoin
+ *  - seen anti-join J1 = ShuffledHashJoin/BHJ LeftAnti
+ *  - parquet scans show PushedFilters + pruned ReadSchema
+ *  - expression pipelines stay inside WholeStageCodegen
+ */
+object PlanAudit {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    gf.register(spark)
+    import spark.implicits._
+
+    val cfg = SynthConfig(nPages = 2000L, nHosts = 8)
+    val crawlCfg = CrawlConfig()
+    val pages = Crawler.keyPages(PageSynth.pages(spark, cfg).toDF(), 4)
+    val robots = PageSynth.robots(spark, cfg).toDF()
+    val frontier = CrawlRound.seedFrontier(
+      pages.select("url").limit(500).toDF())
+
+    println("==== politeness rank (two-phase salted) ====")
+    CrawlRound.politenessRank(frontier, crawlCfg).explain("formatted")
+
+    println("==== round: fetch join + link discovery ====")
+    val r = CrawlRound.run(1, frontier, pages, robots, crawlCfg)
+    r.fetched.explain("formatted")
+    r.discovered.explain("formatted")
+
+    println("==== seen anti-join with bloom pre-filter ====")
+    val seen = pages.select("urlHash").limit(1000)
+    SeenSet.filterUnseen(r.discovered, seen, 1000L, crawlCfg).explain("formatted")
+
+    println("==== parquet pushdown: q01 scan ====")
+    val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+    spark.read.parquet(s"$dir/lineitem.parquet")
+      .filter($"l_shipdate" > "1995-01-01")
+      .groupBy("l_returnflag").agg(sum("l_quantity"))
+      .explain("formatted")
+
+    println("==== text pipeline codegen: quality+langid ====")
+    spark.read.parquet(s"$dir/documents.parquet")
+      .select(graft.text.TextOps.qualityScore($"text"),
+        graft.text.TextOps.langIdFirstMatch($"text"))
+      .explain("formatted")
+
+    spark.stop()
+  }
+}

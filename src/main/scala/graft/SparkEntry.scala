@@ -7,8 +7,10 @@ import graft.core.CrawlConfig
 import graft.functions.gf
 import graft.synth.{PageSynth, SynthConfig}
 import graft.frontier.{Crawler, CrawlRound}
-import graft.extract.{Dedup, FacilityExtract}
-import graft.text.TextOps
+import graft.extract.{Classify, Dedup, FacilityExtract, Validation}
+import graft.functions.UrlPredicates
+import graft.sources.Sitemap
+import graft.text.{Chunker, TextOps}
 import graft.dedup.NearDup
 import graft.ann.Similarity
 import graft.multimodal.MediaOps
@@ -309,6 +311,57 @@ object SparkEntry {
         .orderBy("sourceUrl")
     }),
 
+    "q35_chunk_counts" -> ((s, dir) => // token-window chunker (UDTF-free posexplode)
+      Chunker.chunk(T(s, dir, "documents").select("doc_id", "text"), "text",
+          chunkTokens = 50, overlap = 0.10)
+        .groupBy("doc_id").agg(count("*").as("n_chunks"))
+        .orderBy("doc_id")),
+
+    "q36_classify" -> ((s, dir) => // A5: keyword-frequency argmax classification
+      Classify.classifyWith(T(s, dir, "documents").select("doc_id", "text"),
+          "doc_id", "text", Seq(
+            "relational" -> Seq("table join", "query", "merge"),
+            "streaming" -> Seq("stream", "batch window"),
+            "ml" -> Seq("vector", "hash")))
+        .select(col("doc_id"), col("best_type"), col("type_score"))
+        .orderBy("doc_id")),
+
+    "q37_sitemap_locs" -> ((s, dir) => { // S4: sitemap <loc> explode
+      val xml = concat(lit("<urlset><url><loc>https://"), col("source"),
+        lit(".com/p"), col("doc_id"), lit("</loc></url><url><loc>https://"),
+        col("source"), lit(".com/n"), col("doc_id"), lit("</loc></url></urlset>"))
+      Sitemap.explodeLocs(
+          T(s, dir, "documents").select(col("source"), xml.as("xml")), "xml")
+        .groupBy("source").agg(count("*").as("n_locs"))
+        .orderBy("source")
+    }),
+
+    "q38_validation" -> ((s, dir) => { // A6/F7: offline validation + summary
+      gf.register(s)
+      val cfg = SynthConfig(nPages = 400L, nHosts = 5)
+      val pages = PageSynth.pages(s, cfg).toDF()
+        .withColumn("canonUrl", gf.canonicalize_url(col("url")))
+      val validated = Validation.withValidation(FacilityExtract.extract(pages))
+      Validation.summary(validated)
+        .crossJoin(Validation.fieldStats(validated)
+          .groupBy().pivot("field_name").sum("valid"))
+    }),
+
+    "q39_url_predicates" -> ((s, dir) => { // F1/F3/F4/F5 predicate counts
+      val path = when(pmod(col("doc_id"), lit(4)) === 0, concat(lit("/locations/city-"), col("doc_id")))
+        .when(pmod(col("doc_id"), lit(4)) === 1, lit("/locations/"))
+        .when(pmod(col("doc_id"), lit(4)) === 2, concat(lit("/careers/job-"), col("doc_id")))
+        .otherwise(lit("/about/team"))
+      val url = concat(lit("https://"), col("source"), lit(".example.com"), path)
+      T(s, dir, "documents").withColumn("url", url)
+        .agg(
+          sum(when(UrlPredicates.isFacilityRelated(col("url")), 1L).otherwise(0L)).as("n_related"),
+          sum(when(UrlPredicates.isFacilityDetail(col("url")), 1L).otherwise(0L)).as("n_detail"),
+          sum(when(UrlPredicates.isFacilityUrl(col("url")), 1L).otherwise(0L)).as("n_facility"),
+          sum(when(UrlPredicates.sameDomain(col("url"), lit("src0.example.com")), 1L)
+            .otherwise(0L)).as("n_src0"))
+    }),
+
     "q34_media_features" -> ((s, dir) => { // multimodal plumbing (stub codec)
       val media = MediaOps.synthMedia(s, 300L)
       MediaOps.imageFeatures(media).toDF()
@@ -440,6 +493,39 @@ object SparkEntry {
     "q24_vocab" ->
       s"""SELECT doc_id, len(list_distinct($wordsSql)) AS n_vocab
          |FROM documents ORDER BY doc_id""".stripMargin,
+    "q35_chunk_counts" ->
+      """SELECT doc_id, CAST(CASE WHEN n = 0 THEN 0 ELSE (n - 1) // 45 + 1 END AS BIGINT) AS n_chunks
+        |FROM (SELECT doc_id, CASE WHEN length(trim(text)) = 0 THEN 0
+        |  ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n FROM documents)
+        |WHERE n > 0 ORDER BY doc_id""".stripMargin,
+    "q36_classify" ->
+      """SELECT doc_id,
+        | CASE WHEN m >= r AND m >= s AND m > 0 THEN 'ml'
+        |      WHEN r >= s AND r > 0 THEN 'relational'
+        |      WHEN s > 0 THEN 'streaming' ELSE NULL END AS best_type,
+        | CAST(CASE WHEN m >= r AND m >= s AND m > 0 THEN m
+        |      WHEN r >= s AND r > 0 THEN r
+        |      WHEN s > 0 THEN s ELSE NULL END AS BIGINT) AS type_score
+        |FROM (SELECT doc_id,
+        |  (CASE WHEN contains(text, 'table join') THEN 3 WHEN contains(text, 'table') THEN 1 ELSE 0 END
+        |   + CASE WHEN contains(text, 'query') THEN 3 ELSE 0 END
+        |   + CASE WHEN contains(text, 'merge') THEN 3 ELSE 0 END) AS r,
+        |  (CASE WHEN contains(text, 'stream') THEN 3 ELSE 0 END
+        |   + CASE WHEN contains(text, 'batch window') THEN 3 WHEN contains(text, 'batch') THEN 1 ELSE 0 END) AS s,
+        |  (CASE WHEN contains(text, 'vector') THEN 3 ELSE 0 END
+        |   + CASE WHEN contains(text, 'hash') THEN 3 ELSE 0 END) AS m
+        | FROM documents)
+        |ORDER BY doc_id""".stripMargin,
+    "q37_sitemap_locs" ->
+      """SELECT source, CAST(count(*) * 2 AS BIGINT) AS n_locs
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q39_url_predicates" ->
+      """SELECT
+        | CAST(sum(CASE WHEN doc_id % 4 IN (0, 1) THEN 1 ELSE 0 END) AS BIGINT) AS n_related,
+        | CAST(sum(CASE WHEN doc_id % 4 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_detail,
+        | CAST(sum(CASE WHEN doc_id % 4 IN (0, 1) THEN 1 ELSE 0 END) AS BIGINT) AS n_facility,
+        | CAST(sum(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS BIGINT) AS n_src0
+        |FROM documents""".stripMargin,
     "q28_ann_topk" ->
       """WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0)
         |SELECT vec_id, round(list_cosine_similarity(embedding::DOUBLE[], (SELECT qv FROM q)), 4) AS cos

@@ -77,4 +77,6 @@ final case class CrawlConfig(
     minScore: Double = -100.0,     // url_scorer.py:141-150 threshold
     saltBuckets: Int = 16,         // skew salt S for the two-phase host rank
     bloomBuckets: Int = 32,        // partitioned seen-bloom bucket count
-    bloomFpp: Double = 0.01)
+    bloomFpp: Double = 0.01,
+    keepPayload: Boolean = true)   // false: html/text dropped from round state
+                                   // after link discovery (drain-only crawls)

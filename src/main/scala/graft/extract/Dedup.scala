@@ -59,7 +59,9 @@ object Dedup {
       .withColumn("nameNorm", FieldExtract.normKey(col("name")))       // lower + strip punct (deduplicator.py:152)
       .withColumn("addrNorm", lower(coalesce(col("address"), lit("")))) // lower only (deduplicator.py:141)
       .withColumn("digits", regexp_replace(coalesce(col("phone"), lit("")), "[^0-9]", ""))
-      .withColumn("block", coalesce(col("zipCode"), substring(col("nameNorm"), 1, 4)))
+      .withColumn("block", coalesce(
+        when(col("zipCode").isNotNull, substring(col("zipCode"), 1, 5)),
+        substring(col("nameNorm"), 1, 4)))
 
     val a = base.select(col("block"), col("sourceUrl").as("aUrl"),
       col("nameNorm").as("aName"), col("addrNorm").as("aAddr"),

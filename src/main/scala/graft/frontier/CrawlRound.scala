@@ -22,8 +22,10 @@ object CrawlRound {
       order: DataFrame,        // CrawlOrderRow columns
       fetched: DataFrame,      // budgeted frontier rows joined with page columns
       deferred: DataFrame,     // frontier rows beyond this round's politeness budget
-      discovered: DataFrame)   // new frontier candidates (already robots-filtered,
+      discovered: DataFrame,   // new frontier candidates (already robots-filtered,
                                // NOT yet deduped against seen)
+      raw: DataFrame)          // the materialized fetch-join frame (carries html);
+                               // unpersist after the round when payload not kept
 
   /**
    * Two-phase salted per-host politeness rank (SURVEY.md W2 / §4 skew kill):
@@ -64,10 +66,17 @@ object CrawlRound {
       .dropDuplicates("urlHash")
   }
 
+  /** F2: the reference's 18 exclude substrings (navigation.py:370-373,
+    * config.py:89-93) as one alternation. */
+  val excludePattern: String =
+    "careers|jobs|employment|blog|news|press|media|investor|privacy|terms|" +
+    "sitemap\\.xml|login|signin|register|cart|checkout|\\.pdf|\\.jpg|\\.png"
+
   /**
    * Extract link candidates from fetched pages: href regex → resolve →
-   * canonicalize → score; non-web schemes dropped; robots disallow
-   * prefixes enforced via broadcast join (SURVEY.md C26/C2/C3/J5).
+   * canonicalize → score; non-web schemes + excluded patterns dropped;
+   * robots disallow prefixes enforced via broadcast join
+   * (SURVEY.md C26/C2/C3/F2/J5).
    */
   def discoverLinks(fetched: DataFrame, robots: DataFrame, cfg: CrawlConfig): DataFrame = {
     val htmlStr = col("html").cast("string")
@@ -81,6 +90,7 @@ object CrawlRound {
       .foldLeft(hrefs.withColumn("url", col("href")))(
         (df, kv) => df.withColumn(kv._1, kv._2))
       .filter(col("depth") <= cfg.maxDepth && col("score") >= cfg.minScore)
+      .filter(!lower(col("canonUrl")).rlike(excludePattern))
       .select("url", "canonUrl", "urlHash", "host", "depth", "score")
     // robots: drop urls whose path starts with a disallowed prefix (J5)
     linked.join(broadcast(robots.select(col("host"), col("disallow"))), Seq("host"), "left")
@@ -108,25 +118,51 @@ object CrawlRound {
    * every returned frame derives from a materialized parent.
    */
   def run(round: Int, frontier: DataFrame, pages: DataFrame, robots: DataFrame,
-          cfg: CrawlConfig, ck: DataFrame => DataFrame = identity): RoundResult = {
-    val ranked = ck(politenessRank(frontier, cfg))
-    val budgeted = ranked.filter(col("hostRank") <= cfg.perHostBudget)
-    val deferred = ranked.filter(col("hostRank") > cfg.perHostBudget)
-      .drop("hostRank")
+          cfg: CrawlConfig, ck: DataFrame => DataFrame = identity,
+          hostFetched: Option[DataFrame] = None): RoundResult = {
+    // L3: cumulative per-site cap — effective budget = min(B, maxPages - done)
+    val ranked0 = politenessRank(frontier, cfg)
+    val ranked = ck(hostFetched match {
+      case Some(hc) => ranked0.join(hc, Seq("host"), "left")
+        .withColumn("__budget", greatest(lit(0),
+          least(lit(cfg.perHostBudget),
+            lit(cfg.maxPagesPerSite) - coalesce(col("hostDone"), lit(0L)))))
+        .drop("hostDone")
+      case None => ranked0.withColumn("__budget", lit(cfg.perHostBudget))
+    })
+    val budgeted = ranked.filter(col("hostRank") <= col("__budget")).drop("__budget")
+    val deferred = ranked.filter(col("hostRank") > col("__budget"))
+      .drop("hostRank", "__budget")
 
-    // fetch = equi join on the 64-bit identity; shuffle-hash beats
-    // sort-merge on hash keys (SURVEY.md J7)
-    val fetched = ck(budgeted.join(
-        pages.hint("shuffle_hash").select(col("urlHash"),
-          col("html"), col("text"), col("lang"), col("warc_ts")),
-        Seq("urlHash"), "left")
-      .withColumn("fetchOk", col("html").isNotNull))
+    // fetch = equi join on the 64-bit identity. The budgeted frontier is
+    // broadcast (it is budget-bounded: ≤ B·hosts slim rows) so the page
+    // store is only SCANNED and probed — never shuffled, never built into
+    // a hash map carrying page payloads (SURVEY.md J7; at storage scale
+    // the same shape lets the scan skip files via runtime filtering).
+    val hits = pages
+      .select(col("urlHash"), col("html"), col("text"), col("lang"), col("warc_ts"))
+      .join(broadcast(budgeted), Seq("urlHash"))
+      .withColumn("fetchOk", lit(true))
+    // fetch misses (dead-letter rows, T8): slim single-column anti-join
+    val misses = budgeted
+      .join(pages.select("urlHash"), Seq("urlHash"), "left_anti")
+      .withColumn("html", lit(null).cast("binary"))
+      .withColumn("text", lit(null).cast("string"))
+      .withColumn("lang", lit(null).cast("string"))
+      .withColumn("warc_ts", lit(null).cast("timestamp"))
+      .withColumn("fetchOk", lit(false))
+    // one materialization per round; derived frames below read the cache
+    val joined = ck(hits.unionByName(misses))
+
+    // slim copy is checkpointed itself so `raw` can be unpersisted after
+    // the round without forcing recomputation of the fetch join
+    val fetched = if (cfg.keepPayload) joined else ck(joined.drop("html", "text"))
+    val discovered = ck(dedupeCandidates(discoverLinks(joined, robots, cfg)))
 
     val order = fetched.select(
       lit(round).as("round"), col("host"), col("hostRank"),
       col("canonUrl"), col("urlHash"), col("score"), col("fetchOk"))
 
-    val discovered = ck(dedupeCandidates(discoverLinks(fetched, robots, cfg)))
-    RoundResult(order, fetched, deferred, discovered)
+    RoundResult(order, fetched, deferred, discovered, joined)
   }
 }

@@ -44,7 +44,10 @@ object Crawler {
     val parts = spark.conf.get("spark.sql.shuffle.partitions").toInt
     val pagesKeyed = keyedPages.getOrElse(keyPages(pages, parts))
 
-    val ck = (df: DataFrame) => df.localCheckpoint(true)
+    // LAZY local checkpoints: lineage truncation + caching piggyback on the
+    // next action instead of running a dedicated job each — halves the
+    // per-round job count (every ck'd frame gets an action within the round)
+    val ck = (df: DataFrame) => df.localCheckpoint(false)
 
     // resume from the last committed snapshot if a store is present (T6)
     val resumeRound = store.flatMap(_.lastCommittedRound)
@@ -67,37 +70,69 @@ object Crawler {
     val fetchedAll = scala.collection.mutable.ArrayBuffer[DataFrame]()
     val metrics = scala.collection.mutable.ArrayBuffer[RoundMetrics]()
 
+    // L3 state: pages fetched so far per host (config.py:67 max_pages_per_site)
+    var hostFetched: DataFrame = resumeRound match {
+      case Some(k) if k > 0 =>
+        ck(store.get.readOrderUpTo(k).groupBy("host")
+          .agg(count("*").as("hostDone")))
+      case _ => emptyOrder(spark).groupBy("host").agg(count("*").as("hostDone"))
+    }
+
+    val phaseLog = sys.env.contains("GRAFT_PHASE_LOG")
+    def phase(round: Int, name: String, t: Long): Long = {
+      val now = System.nanoTime()
+      if (phaseLog) System.err.println(
+        f"[crawler] r$round $name: ${(now - t) / 1e9}%.2fs")
+      now
+    }
+
     var round = resumeRound.getOrElse(0) + 1
     while (round <= maxRounds && frontierCount > 0) {
       val t0 = System.nanoTime()
+      var tp = t0
       // ck inside run(): rank, fetch join and discovery each computed once
-      val r = CrawlRound.run(round, frontier, pagesKeyed, robots, cfg, ck)
+      val r = CrawlRound.run(round, frontier, pagesKeyed, robots, cfg, ck,
+        Some(hostFetched))
 
       val fetched = r.fetched
       val order = r.order
       val delta = fetched.select("urlHash")
-      val fetchedCount = fetched.count()
+      // A9/T7: per-round counters ride the count() action via observe() —
+      // no extra job for the miss count
+      val obs = org.apache.spark.sql.Observation(s"graft-round-$round")
+      val fetchedCount = fetched
+        .observe(obs, sum(when(!col("fetchOk"), 1L).otherwise(0L)).as("misses"))
+        .count()
+      tp = phase(round, "rank+fetch", tp)
       val newSeen = ck(seen.unionByName(delta).repartition(parts, col("urlHash")))
       val newSeenCount = seenCount + fetchedCount // budgeted rows are urlHash-unique
 
       val discovered = r.discovered
       val discoveredCount = discovered.count()
+      tp = phase(round, "discover", tp)
       val fresh = SeenSet.filterUnseen(discovered, newSeen, newSeenCount, cfg)
       val nextFrontier = ck(CrawlRound.dedupeCandidates(
         r.deferred.unionByName(fresh)))
       val nextCount = nextFrontier.count()
+      tp = phase(round, "seen+next", tp)
 
       store.foreach(_.writeRound(round, nextFrontier, delta,
         order.select("round", "host", "hostRank", "canonUrl", "urlHash", "score", "fetchOk")))
 
-      val misses = fetched.filter(!col("fetchOk")).count()
+      val misses = Option(obs.get.getOrElse("misses", 0L))
+        .map(_.asInstanceOf[Long]).getOrElse(0L)
       metrics += RoundMetrics(round, fetchedCount, misses, discoveredCount,
         dedupHits = discoveredCount + r.deferred.count() - nextCount,
         frontierNext = nextCount, seenTotal = newSeenCount,
         wallMs = (System.nanoTime() - t0) / 1000000L)
 
+      hostFetched = ck(hostFetched
+        .unionByName(fetched.groupBy("host").agg(count("*").as("hostDone")))
+        .groupBy("host").agg(sum("hostDone").as("hostDone")))
+
       orders += order
       fetchedAll += fetched
+      if (!cfg.keepPayload) r.raw.unpersist() // page payloads were transient
       seen.unpersist(); frontier.unpersist()
       seen = newSeen; seenCount = newSeenCount
       frontier = nextFrontier; frontierCount = nextCount
@@ -108,6 +143,46 @@ object Crawler {
     val fetchedPages = if (fetchedAll.nonEmpty) fetchedAll.reduce(_ unionByName _)
       else pagesKeyed.limit(0)
     CrawlResult(orderAll, fetchedPages, seen, metrics.toSeq)
+  }
+
+  /**
+   * Throughput-oriented drain loop: same semantics as [[crawl]] for the
+   * fetch set (politeness rank → fetch → discover → seen-dedup) but
+   * exactly TWO actions per round — (1) seen-set append, (2) next
+   * frontier — with the salted rank lazily checkpointed so it computes
+   * once. No order rows, no per-round miss metrics, no snapshot writes:
+   * this is the steady-state inner loop a 1000-executor drain would run,
+   * where driver-side planning must not serialize executor work.
+   * Returns (urls fetched, rounds run, per-round fetch counts).
+   */
+  def fastDrain(spark: SparkSession, pagesKeyed: DataFrame, robots: DataFrame,
+                seeds: DataFrame, cfg: CrawlConfig, maxRounds: Int): (Long, Int, Seq[Long]) = {
+    val parts = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val ck = (df: DataFrame) => df.localCheckpoint(false)
+    var frontier = ck(CrawlRound.seedFrontier(seeds))
+    var seen: DataFrame = frontier.select("urlHash").limit(0)
+    var seenCount = 0L
+    var frontierCount = frontier.count()
+    val perRound = scala.collection.mutable.ArrayBuffer[Long]()
+    var round = 1
+    while (round <= maxRounds && frontierCount > 0) {
+      val r = CrawlRound.run(round, frontier, pagesKeyed, robots,
+        cfg.copy(keepPayload = false), ck)
+      // action 1: append budgeted hashes to seen (materializes the rank)
+      val newSeen = ck(seen.unionByName(r.fetched.select("urlHash"))
+        .repartition(parts, col("urlHash")))
+      val newSeenCount = newSeen.count()
+      perRound += (newSeenCount - seenCount)
+      // action 2: next frontier (materializes fetch join + discovery + dedup)
+      val next = ck(CrawlRound.dedupeCandidates(r.deferred.unionByName(
+        SeenSet.filterUnseen(r.discovered, newSeen, newSeenCount, cfg))))
+      frontierCount = next.count()
+      r.raw.unpersist()
+      seen.unpersist(); frontier.unpersist()
+      seen = newSeen; seenCount = newSeenCount; frontier = next
+      round += 1
+    }
+    (seenCount, round - 1, perRound.toSeq)
   }
 
   private def emptyOrder(spark: SparkSession): DataFrame = {

@@ -36,6 +36,18 @@ object PageSynth {
   def seeds(cfg: SynthConfig): Seq[String] =
     Seq("https://" + Synth.hostName(0) + "/")
 
+  /** Wide seed list for steady-state throughput benchmarks: the first
+    * `perHost` pages of every host, skipping the BFS warm-up rounds. */
+  def wideSeeds(spark: SparkSession, cfg: SynthConfig, perHost: Int): Dataset[String] = {
+    import spark.implicits._
+    spark.range(0, cfg.nHosts.toLong * perHost).flatMap { i =>
+      val h = (i / perHost).toInt
+      val local = i % perHost
+      if (local < cfg.hostPages(h)) Some(Synth.urlOf(cfg, cfg.idOf(h, local)))
+      else None
+    }
+  }
+
   /** robots rows: every host disallows /careers/ (cf. the reference's
     * exclude patterns /root/reference/config.py:89-93 + robots handling
     * /root/reference/navigation.py:92-108). */

@@ -1,0 +1,234 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.sources.{Chains, Sitemap}
+import graft.text.{Chunker, TextOps}
+import graft.dedup.NearDup
+import graft.ann.Similarity
+import graft.extract.Classify
+import graft.multimodal.MediaOps
+import graft.sinks.Sinks
+
+class OperatorSpec extends SparkTestBase {
+  import spark.implicits._
+
+  // ---------- chains (S1/S2, F8-F10, A2-A4, W6, J4/K5) ----------
+
+  private def tmpDir(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString
+
+  test("chain CSV scan, filters, stats, batching") {
+    val dir = tmpDir("chains")
+    val csv =
+      """corporation_name,primary_url,secondary_urls,facility_types,priority,estimated_facilities,last_updated
+        |Acme Care,https://acme.example.com,https://a2.example.com|https://a3.example.com,skilled nursing|hospice,1,200+,2025-01-15
+        |Beta Health,https://beta.example.com,,assisted living,2,50,2025-07-20
+        |,https://nobody.example.com,,,3,,
+        |Gamma Living,https://gamma.example.com,,memory care|assisted living,3,1000+,
+        |""".stripMargin
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/chains.csv"), csv.getBytes)
+    val chains = Chains.load(spark, s"$dir/chains.csv")
+    assert(chains.count() == 3) // required-field row dropped
+    assert(chains.filter($"corporation_name" === "Acme Care")
+      .select(size($"secondary_urls")).as[Int].head() == 2)
+
+    val filtered = Chains.filterChains(chains, maxPriority = 3,
+      facilityType = Some("Assisted Living"), staleDays = 30, asOf = "2025-07-25")
+    // Beta fresh (5 days) → dropped; Gamma null last_updated → kept
+    assert(filtered.select("corporation_name").as[String].collect().toSet == Set("Gamma Living"))
+
+    assert(Chains.priorityDistribution(chains).as[(Int, Long)].collect().toSeq ==
+      Seq((1, 1L), (2, 1L), (3, 1L)))
+    val types = Chains.typeDistribution(chains).as[(String, Long)].collect().toMap
+    assert(types("assisted living") == 2 && types("skilled nursing") == 1)
+    assert(Chains.estimatedTotal(chains).as[Long].head() == 1250)
+    val batches = Chains.withBatchId(chains, 2)
+      .select("corporation_name", "batch_id").as[(String, Long)].collect().toMap
+    assert(batches("Acme Care") == 0 && batches("Gamma Living") == 1)
+  }
+
+  test("seed file scan: comments skipped, https prepended") {
+    val dir = tmpDir("seeds")
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/seeds.txt"),
+      "# comment\nexample.com\n\nhttps://x.org/a\n  spaced.net  \n".getBytes)
+    val seeds = Chains.loadSeeds(spark, s"$dir/seeds.txt").as[String].collect().toSet
+    assert(seeds == Set("https://example.com", "https://x.org/a", "https://spaced.net"))
+  }
+
+  // ---------- sitemap / robots (S4/S5) ----------
+
+  test("sitemap loc explode + classification, robots parse") {
+    val xml =
+      """<?xml version="1.0"?><urlset><url><loc>https://h.com/locations/springfield/</loc></url>
+        |<url><loc> https://h.com/locations/ </loc></url>
+        |<url><loc>https://h.com/news/x</loc></url></urlset>""".stripMargin
+    val locs = Sitemap.explodeLocs(Seq(("h.com", xml)).toDF("host", "xml"))
+      .withColumn("cls", Sitemap.classifyLoc($"loc"))
+      .select("loc", "cls").as[(String, String)].collect().toSet
+    assert(locs == Set(
+      ("https://h.com/locations/springfield/", "facility"),
+      ("https://h.com/locations/", "listing"),
+      ("https://h.com/news/x", "other")))
+
+    val robots = Sitemap.parseRobots(Seq(("h.com",
+      "User-agent: *\nDisallow: /careers/\nDisallow: /tmp/\ncrawl-delay: 2.5\nSitemap: https://h.com/sitemap.xml"))
+      .toDF("host", "robots_txt")).collect()(0)
+    assert(robots.getSeq[String](1) == Seq("/careers/", "/tmp/"))
+    assert(robots.getDouble(2) == 2.5)
+    assert(robots.getSeq[String](3) == Seq("https://h.com/sitemap.xml"))
+  }
+
+  // ---------- chunker ----------
+
+  test("chunker: 600-token chunks with 10% overlap") {
+    val text = (1 to 1500).map(i => s"w$i").mkString(" ")
+    val out = Chunker.chunk(Seq((1L, text)).toDF("id", "text"), "text").cache()
+    val rows = out.select("chunk_idx", "chunk_start", "chunk_tokens")
+      .as[(Int, Int, Int)].collect().sortBy(_._1)
+    assert(rows.map(_._2).toSeq == Seq(0, 540, 1080)) // stride = 600·0.9
+    assert(rows.map(_._3).toSeq == Seq(600, 600, 420))
+    // overlap: chunk k starts inside chunk k-1
+    assert(rows(1)._2 < rows(0)._2 + 600)
+    val first = out.filter($"chunk_idx" === 0).select("chunk_text").as[String].head()
+    assert(first.startsWith("w1 w2 ") && first.endsWith(" w600"))
+    assert(Chunker.chunk(Seq((1L, "")).toDF("id", "text"), "text").count() == 0)
+  }
+
+  // ---------- classification (A5) + completeness (A10) ----------
+
+  test("keyword-frequency type classification argmax") {
+    val pages = Seq(
+      (1L, "Our skilled nursing facility offers rehabilitation and nursing home care"),
+      (2L, "Memory care for dementia and alzheimer patients"),
+      (3L, "nothing relevant here")).toDF("id", "text")
+    val out = Classify.classify(pages, "id", "text")
+      .select("id", "best_type").as[(Long, Option[String])].collect().toMap
+    assert(out(1L).contains("skilled nursing"))
+    assert(out(2L).contains("memory care"))
+    assert(out(3L).isEmpty)
+  }
+
+  test("completeness score weights required 0.7 / optional 0.3") {
+    val df = Seq(("A", "addr", "c", "p", "e", "12", Seq("s")),
+                 ("B", null, null, null, null, null, null))
+      .toDF("name", "address", "city", "phone", "email", "beds", "servicesOffered")
+      .withColumn("score", Classify.completenessScore($"name", $"address", $"city",
+        $"phone", $"email", $"beds", $"servicesOffered"))
+    val scores = df.select("name", "score").as[(String, Double)].collect().toMap
+    assert(scores("A") == 1.0)
+    assert(scores("B") == math.round(1.0 / 3 * 0.7 * 10000) / 10000.0)
+  }
+
+  // ---------- near-dup family ----------
+
+  test("minhash LSH finds planted near-duplicates and passes exact-jaccard verify") {
+    // letter-only tokens (TextOps.words splits on non-letters)
+    def tok(i: Long, j: Long): String = {
+      val h = graft.synth.Synth.mix2(i, j)
+      (0 until 5).map(s => ('a' + math.floorMod(h >> (5 * s), 26).toInt).toChar).mkString
+    }
+    val base = (1 to 40).map { i =>
+      (i.toLong, (1 to 60).map(j => tok(i.toLong, j.toLong)).mkString(" "))
+    }
+    // plant: doc 100+i = doc i with two tokens changed (high jaccard)
+    val dups = (1 to 10).map { i =>
+      val words = base(i - 1)._2.split(" ").toVector.updated(0, "xq").updated(1, "yq")
+      (100L + i, words.mkString(" "))
+    }
+    val docs = (base ++ dups).toDF("doc_id", "text")
+    val pairs = NearDup.nearDupPairs(docs, "doc_id", "text", threshold = 0.6)
+      .select("idA", "idB").as[(Long, Long)].collect().toSet
+    (1 to 10).foreach { i =>
+      assert(pairs.contains((i.toLong, 100L + i)), s"missed planted pair $i")
+    }
+    // no pair among the mutually-distinct base docs
+    assert(pairs.forall { case (a, b) => b >= 100 })
+  }
+
+  test("simhash: identical docs at hamming 0, distinct docs far apart") {
+    val docs = Seq((1L, "alpha beta gamma delta epsilon zeta"),
+                   (2L, "alpha beta gamma delta epsilon zeta"),
+                   (3L, "totally different words entirely here now")).toDF("doc_id", "text")
+    val pairs = NearDup.simhashPairs(docs, "doc_id", "text", maxHamming = 3)
+      .as[(Long, Long, Int)].collect()
+    assert(pairs.toSeq == Seq((1L, 2L, 0)))
+  }
+
+  test("jaccard: exact on known shingle sets") {
+    val df = Seq(("a b c d e", "a b c d e"), ("a b c d e", "v w x y z"))
+      .toDF("ta", "tb")
+      .select(round(NearDup.jaccard($"ta", $"tb"), 4).as("j")).as[Double].collect()
+    assert(df(0) == 1.0 && df(1) == 0.0)
+  }
+
+  // ---------- similarity search ----------
+
+  test("ann: brute-force topK exact; LSH probe returns subset with query top-1") {
+    val vecs = (0L until 200L).map { i =>
+      (i, Array.tabulate(16)(d => (graft.synth.Synth.mix2(i, d.toLong) % 1000).toFloat / 1000f))
+    }.toDF("vec_id", "embedding")
+    val q = vecs.filter($"vec_id" === 7L).select("embedding").as[Array[Float]].head().toSeq
+    val exact = Similarity.topK(vecs, "vec_id", "embedding", q, 5)
+      .select("vec_id").as[Long].collect()
+    assert(exact.head == 7L) // self-similarity = 1.0 tops the list
+    val lsh = Similarity.annLsh(vecs, "vec_id", "embedding", q, 5, planes = 4)
+      .select("vec_id").as[Long].collect()
+    assert(lsh.contains(7L)) // query's own bucket contains the query vector
+    val assigned = Similarity.ivfAssign(vecs, "vec_id", "embedding", 8)
+    assert(assigned.select("centroid").distinct().count() <= 8)
+    val ivf = Similarity.annIvf(assigned, "vec_id", "embedding", q, 5, nProbe = 3)
+      .select("vec_id").as[Long].collect()
+    assert(ivf.nonEmpty)
+  }
+
+  // ---------- text ops ----------
+
+  test("langid picks the stopword-dominant language") {
+    val df = Seq(
+      "the cat and the dog went to the house that was big",
+      "el perro y la casa de los gatos por la ciudad",
+      "der hund und die katze ist von den nicht da",
+      "le chat dans les rues pour une ville sur la table").toDF("text")
+      .select(TextOps.langId($"text").as("l")).as[String].collect()
+    assert(df.toSeq == Seq("en", "es", "de", "fr"))
+    assert(Seq("zzz qqq").toDF("text")
+      .select(TextOps.langId($"text")).as[String].head() == "und")
+  }
+
+  test("fingerprint is whitespace/case-insensitive") {
+    val fps = Seq("Hello   World", "hello world", "hello  world ")
+      .toDF("text").select(TextOps.fingerprint($"text")).as[String].collect()
+    assert(fps.distinct.length == 1)
+  }
+
+  // ---------- multimodal ----------
+
+  test("media features are deterministic and batch-shaped") {
+    val m1 = MediaOps.imageFeatures(MediaOps.synthMedia(spark, 100L)).collect()
+      .sortBy(_.media_id)
+    val m2 = MediaOps.imageFeatures(MediaOps.synthMedia(spark, 100L)).collect()
+      .sortBy(_.media_id)
+    assert(m1.length > 10)
+    assert(m1.map(f => (f.media_id, f.mean_luma)).toSeq ==
+      m2.map(f => (f.media_id, f.mean_luma)).toSeq)
+    assert(m1.forall(_.embedding.length == 16))
+    val frames = MediaOps.sampleFrames(MediaOps.synthMedia(spark, 100L), stride = 2)
+    assert(frames.count() > 0)
+    val perVideo = frames.groupByKey(_.media_id).count().collect()
+    assert(perVideo.forall(_._2 <= 8)) // ≤ n_frames/stride + 1
+  }
+
+  // ---------- sinks ----------
+
+  test("csv sink flattens arrays pipe-joined; json sink round-trips") {
+    val dir = tmpDir("sinks")
+    val df = Seq(("A", Seq("x", "y", "z")), ("B", Seq.empty[String]))
+      .toDF("name", "services")
+    Sinks.writeCsvFlattened(df, s"$dir/csv")
+    val back = spark.read.option("header", true).csv(s"$dir/csv")
+      .as[(String, Option[String])].collect().toMap
+    assert(back("A").contains("x | y | z"))
+    Sinks.writeJson(df, s"$dir/json")
+    assert(spark.read.json(s"$dir/json").count() == 2)
+  }
+}

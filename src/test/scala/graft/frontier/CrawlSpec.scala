@@ -108,4 +108,17 @@ class CrawlSpec extends SparkTestBase {
   test("robots disallow is enforced: no /careers/ url ever fetched") {
     assert(fullCrawl.order.filter($"canonUrl".contains("/careers/")).count() == 0)
   }
+
+  test("exclude patterns (F2) drop news/blog urls from discovery") {
+    assert(fullCrawl.order.filter($"canonUrl".contains("/news/")).count() == 0)
+  }
+
+  test("cumulative per-site cap (L3) holds across rounds") {
+    val capped = Crawler.crawl(spark, pages, robots, seeds,
+      crawlCfg.copy(maxPagesPerSite = 30), 8, None, Some(keyed))
+    val over = capped.order.groupBy("host").count().filter($"count" > 30).count()
+    assert(over == 0)
+    // the hot host actually hits the cap (not vacuous)
+    assert(capped.order.groupBy("host").count().filter($"count" === 30).count() >= 1)
+  }
 }
