@@ -220,16 +220,27 @@ object SparkEntry {
 
     // ---- near-dup dedup family (rows-only: hash fns beyond DuckDB) ----
     "q25_minhash_neardup" -> ((s, dir) => { // MinHash+LSH → verified Jaccard pairs
+      // capped: the synthetic docs' ~30-word vocab makes unrelated docs
+      // share shingles far more than real webtext, inflating candidate
+      // pairs quadratically at larger sf
+      // repartition after the limit: a global limit collapses to one
+      // partition and would serialize all downstream minhash compute
       val docs = T(s, dir, "documents").select("doc_id", "text")
+        .orderBy("doc_id").limit(1500)
+        .repartition(col("doc_id"))
       val withCopies = docs.unionByName(
         docs.withColumn("doc_id", col("doc_id") + 1000000L))
-      NearDup.nearDupPairs(withCopies, "doc_id", "text", threshold = 0.8)
+      // k=5 word shingles: the synthetic ~30-word vocab makes 3-shingles
+      // genuinely shared across unrelated docs; 5-shingles restore the
+      // near-disjointness real webtext has
+      NearDup.nearDupPairs(withCopies, "doc_id", "text", threshold = 0.8, k = 5)
         .withColumn("jaccard", round(col("jaccard"), 4))
         .orderBy("idA", "idB")
     }),
 
     "q26_simhash_pairs" -> ((s, dir) => { // SimHash near-dup candidates
       val docs = T(s, dir, "documents").select("doc_id", "text").limit(200)
+        .repartition(col("doc_id")) // limit collapses to one partition
       val withCopies = docs.unionByName(
         docs.withColumn("doc_id", col("doc_id") + 1000000L))
       NearDup.simhashPairs(withCopies, "doc_id", "text", maxHamming = 3)

@@ -32,7 +32,8 @@ object NearDup {
 
   /** MinHash signature: array of `numPerms` longs. "Permutation" p is
     * xxhash64(shingleHash, p) — a fresh 64-bit universal hash per perm
-    * with no overflow under ANSI arithmetic. */
+    * with no overflow under ANSI arithmetic. (Single-expression form for
+    * small inputs; the scale path is [[minhashSignatures]].) */
   def minhashSignature(text: Column, numPerms: Int = 32, k: Int = 3): Column = {
     val sh = shingleHashes(text, k)
     array((0 until numPerms).map { p =>
@@ -41,20 +42,31 @@ object NearDup {
   }
 
   /**
-   * LSH banding: signature split into `bands` bands of `numPerms/bands`
-   * rows; each band hashed to a bucket key. Returns (doc columns…, band,
-   * bucket) — one row per band, ready for the bucket equi-join.
+   * MinHash signatures the scalable way: explode shingles to rows, then
+   * ONE hash aggregate computing all `numPerms` mins with map-side
+   * combine. Shingling runs exactly once per doc (the inlined column form
+   * would re-evaluate it per permutation after projection collapse).
+   * Output: (idCol, m0…m{P-1}).
    */
-  def lshBands(docs: DataFrame, textCol: String, numPerms: Int = 32,
-               bands: Int = 8, k: Int = 3): DataFrame = {
+  def minhashSignatures(docs: DataFrame, idCol: String, textCol: String,
+                        numPerms: Int = 32, k: Int = 3): DataFrame =
+    docs.select(col(idCol), explode(shingleHashes(col(textCol), k)).as("sh"))
+      .groupBy(idCol)
+      .agg(min(xxhash64(col("sh"), lit(0))).as("m0"),
+        (1 until numPerms).map(p => min(xxhash64(col("sh"), lit(p))).as(s"m$p")): _*)
+
+  /**
+   * LSH banding: signature columns split into `bands` bands of
+   * `numPerms/bands` rows; each band hashed to a bucket key. One row per
+   * (doc, band), ready for the bucket equi-join.
+   */
+  def lshBands(docs: DataFrame, idCol: String, textCol: String,
+               numPerms: Int = 32, bands: Int = 8, k: Int = 3): DataFrame = {
     val rows = numPerms / bands
-    val withSig = docs.withColumn("sig", minhashSignature(col(textCol), numPerms, k))
-    withSig
-      .select(col("*"), posexplode(array((0 until bands).map { b =>
-        xxhash64(concat_ws(",", transform(slice(col("sig"), b * rows + 1, rows),
-          x => x.cast("string"))))
+    minhashSignatures(docs, idCol, textCol, numPerms, k)
+      .select(col(idCol), posexplode(array((0 until bands).map { b =>
+        xxhash64((b * rows until (b + 1) * rows).map(i => col(s"m$i")): _*)
       }: _*)).as(Seq("band", "bucket")))
-      .drop("sig")
   }
 
   /**
@@ -63,7 +75,7 @@ object NearDup {
    */
   def lshCandidates(docs: DataFrame, idCol: String, textCol: String,
                     numPerms: Int = 32, bands: Int = 8, k: Int = 3): DataFrame = {
-    val banded = lshBands(docs.select(idCol, textCol), textCol, numPerms, bands, k)
+    val banded = lshBands(docs.select(idCol, textCol), idCol, textCol, numPerms, bands, k)
       .select(col(idCol).as("id"), col("band"), col("bucket"))
     val a = banded.select(col("id").as("idA"), col("band"), col("bucket"))
     val b = banded.select(col("id").as("idB"), col("band"), col("bucket"))
@@ -128,6 +140,27 @@ object NearDup {
       .reduce((a, b) => a.bitwiseOR(b))
   }
 
+  /**
+   * SimHash the scalable way: explode tokens, ONE hash aggregate summing
+   * ±1 per bit position (64 agg columns, map-side combined), then pack the
+   * sign bits — the packing reads materialized aggregate attributes, so
+   * nothing re-evaluates per bit (the scalar [[simhash64]] form
+   * re-expands its counter array per bit after projection collapse).
+   * Output: (idCol, sh).
+   */
+  def simhashTable(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tok = docs.select(col(idCol),
+      explode(transform(TextOps.words(col(textCol)), w => xxhash64(w))).as("t"))
+    def bitSum(i: Int) =
+      sum(when(shiftright(col("t"), i).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"s$i")
+    tok.groupBy(idCol)
+      .agg(bitSum(0), (1 until 64).map(bitSum): _*)
+      .select(col(idCol),
+        (0 until 64).map(i =>
+          when(col(s"s$i") > 0, lit(1L << i)).otherwise(lit(0L)))
+          .reduce((a, b) => a.bitwiseOR(b)).as("sh"))
+  }
+
   /** Hamming distance between two 64-bit simhashes. */
   def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
@@ -138,7 +171,8 @@ object NearDup {
    */
   def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
                    maxHamming: Int = 3): DataFrame = {
-    val hashed = docs.select(col(idCol).as("id"), simhash64(col(textCol)).as("sh"))
+    val hashed = simhashTable(docs, idCol, textCol)
+      .select(col(idCol).as("id"), col("sh"))
     val chunked = hashed.select(col("id"), col("sh"),
       posexplode(array((0 until 4).map(c =>
         shiftright(col("sh"), c * 16).bitwiseAND(0xFFFFL)): _*)).as(Seq("chunk", "ckey")))
