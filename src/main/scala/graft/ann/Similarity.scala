@@ -41,6 +41,12 @@ object Similarity {
   private def sgn(p: Int, i: Int): Double =
     if ((Synth.mix2(0x51D00L + p, i.toLong) & 1L) == 0L) 1.0 else -1.0
 
+  /** Hyperplane sign matrix (planes × dim) — the same constants feed
+    * [[lshBucket]] and the driver's DuckDB oracle SQL, so the oracle
+    * independently recomputes projections/buckets from raw embeddings. */
+  def planeSigns(planes: Int, dim: Int): IndexedSeq[IndexedSeq[Double]] =
+    (0 until planes).map(p => (0 until dim).map(i => sgn(p, i)))
+
   /** Random-hyperplane LSH bucket id: `planes` sign bits packed to a long. */
   def lshBucket(vec: Column, planes: Int, dim: Int): Column =
     (0 until planes).map { p =>
@@ -85,33 +91,81 @@ object Similarity {
    * first `nCentroids` vectors by id — deterministic; k-means iterations
    * would refine but aren't needed to exercise the plumbing.
    */
-  def ivfAssign(vectors: DataFrame, idCol: String, vecCol: String,
-                nCentroids: Int): DataFrame = {
-    val cents = vectors.orderBy(col(idCol).asc).limit(nCentroids)
-      .select(col(idCol).as("cid"), col(vecCol).as("cvec"))
-      .collect()
-    val centArr = array(cents.map { r =>
-      struct(lit(r.getLong(0)).as("cid"),
-        array(r.getSeq[Float](1).map(v => lit(v.toDouble)): _*).as("cvec"))
-    }.toIndexedSeq: _*)
+  /** Driver-side cosine between two dense vectors. */
+  private def cosineScalar(a: Seq[Double], b: Seq[Double]): Double = {
+    var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+    while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+    val den = math.sqrt(na) * math.sqrt(nb)
+    if (den == 0.0) 0.0 else d / den
+  }
+
+  /**
+   * IVF centroids: seeded with the first `nCentroids` vectors by id, then
+   * refined by `iters` Lloyd (k-means) rounds — each round one distributed
+   * assign + one hash aggregate of element-wise sums; only the k centroid
+   * vectors ever reach the driver. Deterministic (seed order + exact
+   * arithmetic on the same partition-invariant sums).
+   */
+  def ivfCentroids(vectors: DataFrame, idCol: String, vecCol: String,
+                   nCentroids: Int, iters: Int = 2): Seq[(Long, Seq[Double])] = {
+    var cents: Seq[(Long, Seq[Double])] =
+      vectors.orderBy(col(idCol).asc).limit(nCentroids)
+        .select(col(idCol), col(vecCol)).collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble))).toSeq
+    val dim = if (cents.isEmpty) 0 else cents.head._2.length
+    for (_ <- 0 until iters) {
+      val assigned = assignTo(vectors, vecCol, cents)
+      val sums = assigned.groupBy("centroid")
+        .agg(count("*").as("n"),
+          (0 until dim).map(i =>
+            sum(element_at(col(vecCol), i + 1).cast("double")).as(s"c$i")): _*)
+        .collect()
+      val refined = sums.map { r =>
+        val n = r.getLong(1).toDouble
+        (r.getLong(0), (0 until dim).map(i => r.getDouble(2 + i) / n): Seq[Double])
+      }.toSeq.sortBy(_._1)
+      // keep empty clusters' previous centers so k stays fixed
+      val byId = refined.toMap
+      cents = cents.map { case (cid, v) => (cid, byId.getOrElse(cid, v)) }
+    }
+    cents
+  }
+
+  /** Nearest-centroid assignment against a driver-held centroid list. */
+  private def assignTo(vectors: DataFrame, vecCol: String,
+                       cents: Seq[(Long, Seq[Double])]): DataFrame = {
+    val centArr = array(cents.map { case (cid, cv) =>
+      struct(lit(cid).as("cid"), array(cv.map(lit): _*).as("cvec"))
+    }: _*)
     vectors.withColumn("centroid",
       array_max(transform(centArr, c => struct(
         cosine(transform(col(vecCol), x => x.cast("double")), c.getField("cvec")).as("cos"),
         c.getField("cid").as("cid")))).getField("cid"))
   }
 
-  /** IVF probe: search only the `nProbe` centroids nearest the query. */
+  /** IVF index: assign every vector to its nearest centroid (bucketed
+    * write at real scale → partition pruning on probe). */
+  def ivfAssign(vectors: DataFrame, idCol: String, vecCol: String,
+                centroids: Seq[(Long, Seq[Double])]): DataFrame =
+    assignTo(vectors, vecCol, centroids)
+
+  /**
+   * IVF probe: search only the `nProbe` centroids nearest the query.
+   * Probe selection ranks the actual centroid vectors driver-side —
+   * deterministic across runs/partitionings (never an arbitrary member
+   * row per centroid).
+   */
   def annIvf(assigned: DataFrame, idCol: String, vecCol: String,
-             query: Seq[Float], k: Int, nProbe: Int = 2): DataFrame = {
-    val q = array(query.map(v => lit(v.toDouble)): _*)
-    val probeCids = assigned
-      .select(col("centroid"), col(vecCol))
-      .dropDuplicates("centroid")
-      .withColumn("cos", cosine(transform(col(vecCol), x => x.cast("double")), q))
-      .orderBy(col("cos").desc).limit(nProbe)
-      .select("centroid").collect().map(_.getLong(0))
+             query: Seq[Float], k: Int, nProbe: Int,
+             centroids: Seq[(Long, Seq[Double])]): DataFrame = {
+    val qd = query.map(_.toDouble)
+    val probeCids = centroids
+      .map { case (cid, cv) => (cid, cosineScalar(qd, cv)) }
+      .sortBy { case (cid, c) => (-c, cid) }
+      .take(nProbe).map(_._1)
+    val q = array(qd.map(lit): _*)
     assigned
-      .filter(col("centroid").isin(probeCids.toIndexedSeq: _*))
+      .filter(col("centroid").isin(probeCids: _*))
       .withColumn("cos", cosine(transform(col(vecCol), x => x.cast("double")), q))
       .select(col(idCol), col("cos"))
       .orderBy(col("cos").desc, col(idCol).asc)

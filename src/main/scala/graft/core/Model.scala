@@ -78,5 +78,8 @@ final case class CrawlConfig(
     saltBuckets: Int = 16,         // skew salt S for the two-phase host rank
     bloomBuckets: Int = 32,        // partitioned seen-bloom bucket count
     bloomFpp: Double = 0.01,
-    keepPayload: Boolean = true)   // false: html/text dropped from round state
+    keepPayload: Boolean = true,   // false: html/text dropped from round state
                                    // after link discovery (drain-only crawls)
+    maxPageNo: Int = 50,           // W7 pagination-chain cap (navigation.py:451)
+    probeSeeds: Boolean = false)   // seed probe facility-listing urls per
+                                   // domain (healthcare_scraper.py:140-151)

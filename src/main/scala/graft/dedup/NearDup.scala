@@ -62,6 +62,9 @@ object NearDup {
    */
   def lshBands(docs: DataFrame, idCol: String, textCol: String,
                numPerms: Int = 32, bands: Int = 8, k: Int = 3): DataFrame = {
+    require(numPerms % bands == 0,
+      s"numPerms ($numPerms) must divide evenly into bands ($bands) — " +
+        "leftover signature columns would be silently dropped")
     val rows = numPerms / bands
     minhashSignatures(docs, idCol, textCol, numPerms, k)
       .select(col(idCol), posexplode(array((0 until bands).map { b =>
@@ -148,9 +151,21 @@ object NearDup {
    * re-expands its counter array per bit after projection collapse).
    * Output: (idCol, sh).
    */
-  def simhashTable(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+  /** Default 64-bit token hash. */
+  val xxTokenHash: Column => Column = w => xxhash64(w)
+
+  /** Portable 60-bit token hash: first 15 hex chars of md5 — identical in
+    * any engine with md5 (DuckDB: CAST('0x'||substring(md5(w),1,15) AS
+    * BIGINT)), which makes the whole simhash pipeline independently
+    * recomputable by the driver's SQL oracle. Top 4 bits are always 0, so
+    * those simhash bits are 0 on both sides. */
+  val md5TokenHash: Column => Column =
+    w => conv(substring(md5(w.cast("binary")), 1, 15), 16, 10).cast("long")
+
+  def simhashTable(docs: DataFrame, idCol: String, textCol: String,
+                   tokenHash: Column => Column = xxTokenHash): DataFrame = {
     val tok = docs.select(col(idCol),
-      explode(transform(TextOps.words(col(textCol)), w => xxhash64(w))).as("t"))
+      explode(transform(TextOps.words(col(textCol)), w => tokenHash(w))).as("t"))
     def bitSum(i: Int) =
       sum(when(shiftright(col("t"), i).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"s$i")
     tok.groupBy(idCol)
@@ -170,8 +185,12 @@ object NearDup {
    * verified by full Hamming distance ≤ maxHamming.
    */
   def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
-                   maxHamming: Int = 3): DataFrame = {
-    val hashed = simhashTable(docs, idCol, textCol)
+                   maxHamming: Int = 3,
+                   tokenHash: Column => Column = xxTokenHash): DataFrame = {
+    require(maxHamming <= 3,
+      s"maxHamming=$maxHamming: 4 16-bit chunks only guarantee recall for " +
+        "Hamming <= 3 (pigeonhole); raise the chunk count for larger radii")
+    val hashed = simhashTable(docs, idCol, textCol, tokenHash)
       .select(col(idCol).as("id"), col("sh"))
     val chunked = hashed.select(col("id"), col("sh"),
       posexplode(array((0 until 4).map(c =>

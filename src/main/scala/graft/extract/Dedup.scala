@@ -49,24 +49,56 @@ object Dedup {
    * Sub-scores: exact phone digits match, char-overlap on address/name
    * (deduplicator.py:166-182), exact zip match.
    *
-   * Scaled as a blocked theta-join: candidate pairs only within a block
-   * key (zip, else first 4 chars of normalized name) — the full O(n²)
-   * cross-join never materializes. Survivor = min(sourceUrl) of each
-   * connected pair (one pass; transitive chains collapse per block).
+   * Scaled as a blocked theta-join — candidate pairs only within a block;
+   * the full O(n²) cross-join never materializes. Blocking is a UNION of
+   * two key projections, with recall derived from the score table
+   * (per-component maxima: phone exact 0.4; addr 0.3 / fuzzy 0.21;
+   * name 0.2 / fuzzy 0.1; zip 0.1):
+   *   - `p:` exact phone digits. Without a shared phone the maximum
+   *     score is 0.3+0.2+0.1 = 0.6, so EVERY pair above 0.6 shares this
+   *     key — complete candidate recall for threshold > 0.6 (fixes the
+   *     cross-zip phone-match miss of zip-only blocking).
+   *   - `z:` zip5 + first char of normalized name (zip null → name
+   *     prefix-4). The name-initial refinement bounds hot-zip blocks
+   *     (a dense metro zip at national scale is 10⁴⁺ rows → 10⁸⁺ pairs
+   *     in one task unrefined); pairs it separates score ≤ 0.5.
+   *   For threshold ≤ 0.6 recall is bounded by these keys (documented
+   *   deviation; the reference's own ring-buffer window was far lossier).
+   *
+   * Skew guard: blocks are deterministically truncated to `maxBlockSize`
+   * rows (min sourceUrl kept); the dropped-row count is published as the
+   * `fuzzy_dedup_blocks.truncated_rows` observed metric.
    */
-  def fuzzy(facilities: DataFrame, threshold: Double = 0.85): DataFrame = {
+  def fuzzy(facilities: DataFrame, threshold: Double = 0.85,
+            maxBlockSize: Int = 4096): DataFrame = {
     val base = facilities
       .withColumn("nameNorm", FieldExtract.normKey(col("name")))       // lower + strip punct (deduplicator.py:152)
       .withColumn("addrNorm", lower(coalesce(col("address"), lit("")))) // lower only (deduplicator.py:141)
       .withColumn("digits", regexp_replace(coalesce(col("phone"), lit("")), "[^0-9]", ""))
-      .withColumn("block", coalesce(
-        when(col("zipCode").isNotNull, substring(col("zipCode"), 1, 5)),
-        substring(col("nameNorm"), 1, 4)))
 
-    val a = base.select(col("block"), col("sourceUrl").as("aUrl"),
+    val zKey = concat(lit("z:"), coalesce(
+      when(col("zipCode").isNotNull,
+        concat(substring(col("zipCode"), 1, 5), lit("|"), substring(col("nameNorm"), 1, 1))),
+      substring(col("nameNorm"), 1, 4)))
+    val pKey = concat(lit("p:"), col("digits"))
+
+    def keyedAs(key: Column, df: DataFrame) = df.select(key.as("block"),
+      col("sourceUrl"), col("nameNorm"), col("addrNorm"), col("digits"), col("zipCode"))
+    val keyed0 = keyedAs(zKey, base)
+      .unionByName(keyedAs(pKey, base.filter(col("digits") =!= "")))
+
+    // deterministic per-block cap; truncation surfaced as a metric
+    val w = Window.partitionBy("block").orderBy(col("sourceUrl").asc)
+    val keyed = keyed0
+      .withColumn("__rn", row_number().over(w))
+      .observe("fuzzy_dedup_blocks",
+        sum(when(col("__rn") > maxBlockSize, 1L).otherwise(0L)).as("truncated_rows"))
+      .filter(col("__rn") <= maxBlockSize).drop("__rn")
+
+    val a = keyed.select(col("block"), col("sourceUrl").as("aUrl"),
       col("nameNorm").as("aName"), col("addrNorm").as("aAddr"),
       col("digits").as("aPhone"), col("zipCode").as("aZip"))
-    val b = base.select(col("block"), col("sourceUrl").as("bUrl"),
+    val b = keyed.select(col("block"), col("sourceUrl").as("bUrl"),
       col("nameNorm").as("bName"), col("addrNorm").as("bAddr"),
       col("digits").as("bPhone"), col("zipCode").as("bZip"))
 

@@ -31,61 +31,60 @@ object FacilityExtract {
   /**
    * Input: fetched pages with (canonUrl, html binary, text string).
    * Output: one row per page that yields a valid facility record.
+   *
+   * Plan shape matters here: the page-level layers come from ONE
+   * single-pass probe (gf.html_probe), and the JSON-LD parse + text
+   * regexes each run exactly once per page. Both layers sit behind a
+   * one-element `explode(array(...))` Generate: the record-validity
+   * filter references generator output, which Catalyst will NOT push
+   * below a Generate — without the barrier, PushPredicateThroughNonJoin
+   * substitutes the alias trees into the pushed-down condition and the
+   * probe/from_json re-evaluate ~40× per row (the round-1 q33 52 s
+   * defect was this shape with per-field regexes).
    */
   def extract(pages: DataFrame): DataFrame = {
-    val html = col("html").cast("string")
     val text = col("text")
 
-    val withLayers = pages
-      // layer 1: microdata/CSS-schema selectors compiled to anchored regex
-      .withColumn("mdName", FieldExtract.itemprop(html, "name"))
-      .withColumn("mdStreet", FieldExtract.itemprop(html, "streetAddress"))
-      .withColumn("mdCity", FieldExtract.itemprop(html, "addressLocality"))
-      .withColumn("mdState", FieldExtract.itemprop(html, "addressRegion"))
-      .withColumn("mdZip", FieldExtract.itemprop(html, "postalCode"))
-      .withColumn("mdTel", FieldExtract.telHref(html))
-      // layer 2: JSON-LD block
-      .withColumn("ld", from_json(
-        FieldExtract.extractOrNull(html,
-          "(?s)<script type=\"application/ld\\+json\">(.*?)</script>"),
-        jsonLdSchema))
-      // layer 3: regex over extracted text (the reference's fallback)
-      .withColumn("rxPhone", FieldExtract.phone(text))
-      .withColumn("rxEmail", FieldExtract.email(text))
-      .withColumn("rxAddress", FieldExtract.address(text))
-      .withColumn("rxBeds", FieldExtract.beds(text))
-      .withColumn("rxCsz", FieldExtract.extractOrNull(text, FieldExtract.cityStateZipPattern, 0))
-      .withColumn("titleName", FieldExtract.titleClean(
-        FieldExtract.extractOrNull(html, "(?s)<title>(.*?)</title>")))
+    // stage 1: one html scan → struct of all page-level layers
+    // (explode(array(x)) = identity Generate, the predicate-pushdown barrier)
+    val probed = pages.select(col("canonUrl"), col("text"),
+      explode(array(gf.html_probe(col("html")))).as("probe"))
 
-    val name = coalesce(col("mdName"), col("ld.name"), col("titleName"))
-    val phoneRaw = coalesce(col("mdTel"), col("ld.telephone"), col("rxPhone"))
-    val addr = coalesce(col("mdStreet"), col("ld.address.streetAddress"), col("rxAddress"))
-    val city = coalesce(col("mdCity"), col("ld.address.addressLocality"),
-      FieldExtract.cityOf(col("rxCsz")))
+    // stage 2: JSON-LD parse (once) + text-side regex layer, same barrier
+    val withLayers = probed.select(
+      col("canonUrl"),
+      col("probe"),
+      explode(array(struct(
+        from_json(col("probe.jsonld"), jsonLdSchema).as("ld"),
+        FieldExtract.phone(text).as("rxPhone"),
+        FieldExtract.email(text).as("rxEmail"),
+        FieldExtract.address(text).as("rxAddress"),
+        FieldExtract.beds(text).as("rxBeds"),
+        FieldExtract.extractOrNull(text, FieldExtract.cityStateZipPattern, 0).as("rxCsz"),
+        FieldExtract.titleClean(col("probe.title")).as("titleName")))).as("L"))
+
+    // stage 3: cascade coalescing over materialized generator attributes
+    val name = coalesce(col("probe.mdName"), col("L.ld.name"), col("L.titleName"))
+    val phoneRaw = coalesce(col("probe.mdTel"), col("L.ld.telephone"), col("L.rxPhone"))
+    val addr = coalesce(col("probe.mdStreet"), col("L.ld.address.streetAddress"), col("L.rxAddress"))
+    val city = coalesce(col("probe.mdCity"), col("L.ld.address.addressLocality"),
+      FieldExtract.cityOf(col("L.rxCsz")))
     val state = FieldExtract.stateNormalize(
-      coalesce(col("mdState"), col("ld.address.addressRegion"),
-        FieldExtract.stateOf(col("rxCsz"))))
-    val zip = coalesce(col("mdZip"), col("ld.address.postalCode"),
-      FieldExtract.zipOf(col("rxCsz")))
+      coalesce(col("probe.mdState"), col("L.ld.address.addressRegion"),
+        FieldExtract.stateOf(col("L.rxCsz"))))
+    val zip = coalesce(col("probe.mdZip"), col("L.ld.address.postalCode"),
+      FieldExtract.zipOf(col("L.rxCsz")))
 
     withLayers
-      .withColumn("name", name)
-      .withColumn("phone", FieldExtract.phoneNormalize(phoneRaw))
-      .withColumn("address", addr)
-      .withColumn("city", city)
-      .withColumn("state", state)
-      .withColumn("zipCode", zip)
-      .withColumn("email", col("rxEmail"))
-      .withColumn("beds", col("rxBeds"))
-      .withColumn("servicesOffered", FieldExtract.cleanArray(
-        regexp_extract_all(html, lit("(?s)<li>([^<]+)</li>"), lit(1))))
-      .withColumn("method", when(col("mdName").isNotNull, "css_schema")
-        .when(col("ld.name").isNotNull, "json_ld").otherwise("regex"))
+      .select(col("canonUrl").as("sourceUrl"),
+        name.as("name"),
+        FieldExtract.phoneNormalize(phoneRaw).as("phone"),
+        addr.as("address"), city.as("city"), state.as("state"), zip.as("zipCode"),
+        col("L.rxEmail").as("email"), col("L.rxBeds").as("beds"),
+        FieldExtract.cleanArray(col("probe.liItems")).as("servicesOffered"),
+        when(col("probe.mdName").isNotNull, "css_schema")
+          .when(col("L.ld.name").isNotNull, "json_ld").otherwise("regex").as("method"))
       .filter(FieldExtract.validFacility(col("name"), col("address"),
         col("city"), col("state"), col("zipCode")))
-      .select(col("canonUrl").as("sourceUrl"), col("name"), col("phone"),
-        col("address"), col("city"), col("state"), col("zipCode"),
-        col("email"), col("beds"), col("servicesOffered"), col("method"))
   }
 }

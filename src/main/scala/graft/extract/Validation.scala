@@ -105,21 +105,27 @@ object Validation {
         .otherwise(0L)).as("medium_confidence"),
       sum(when(col("overallConfidence") <= 0.5, 1L).otherwise(0L)).as("low_confidence"))
 
-  /** A6: per-field stats (total, valid, validation rate, avg confidence). */
+  /** A6: per-field stats (total, valid, validation rate, avg confidence).
+    * ONE aggregate pass — conditional aggregates per field, then a
+    * `stack` unpivot — instead of one scan of the (expensive-to-produce)
+    * validated frame per field. */
   def fieldStats(validated: DataFrame): DataFrame = {
     val fields = Seq(
       ("phone", col("phoneConfidence"), phoneIsValid(col("phone"))),
       ("address", col("addressConfidence"), addressIsValid(col("address"))),
       ("email", col("emailConfidence"), emailConfidence(col("email")) >= 0.7))
-    fields.map { case (name, conf, valid) =>
-      validated.agg(
-        lit(name).as("field_name"),
-        count("*").as("total"),
-        sum(when(valid, 1L).otherwise(0L)).as("valid"),
-        round(avg(conf), 4).as("avg_confidence"))
-        .withColumn("validation_rate",
-          round(col("valid").cast("double") / col("total"), 4))
-    }.reduce(_ unionByName _)
+    val aggs = fields.flatMap { case (name, conf, valid) => Seq(
+      count("*").as(s"${name}_total"),
+      sum(when(valid, 1L).otherwise(0L)).as(s"${name}_valid"),
+      round(avg(conf), 4).as(s"${name}_avg"))
+    }
+    val stackExpr = s"stack(${fields.size}, " + fields.map { case (n, _, _) =>
+      s"'$n', ${n}_total, ${n}_valid, ${n}_avg" }.mkString(", ") +
+      ") as (field_name, total, valid, avg_confidence)"
+    validated.agg(aggs.head, aggs.tail: _*)
+      .select(expr(stackExpr))
+      .withColumn("validation_rate",
+        round(col("valid").cast("double") / col("total"), 4))
   }
 
   /** A6: flag histogram. */

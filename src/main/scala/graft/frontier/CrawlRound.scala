@@ -46,25 +46,40 @@ object CrawlRound {
       .withColumn("hostRank", row_number().over(perHost)) // phase 2: ≤ B·S rows/host
   }
 
-  /** Frontier columns derived from a canonical url + depth. */
-  def frontierCols(canon: Column, depth: Column): Seq[(String, Column)] = {
-    val host = gf.url_host(canon)
-    val base = concat(lit("https://"), host, lit("/"))
-    Seq(
-      "canonUrl" -> canon,
-      "urlHash" -> xxhash64(canon),
-      "host" -> host,
-      "depth" -> depth,
-      "score" -> UrlScoring.urlScore(canon, base))
+  /** Frontier columns derived from a canonical url + depth. The canon
+    * expression is materialized ONCE as its own aliased column and every
+    * derived column references the attribute — restating the (large)
+    * canonicalize tree per derived column multiplied the plan size ~5×
+    * and fed the per-round driver floor (BASELINE.md round-1). */
+  def withFrontierCols(df: DataFrame, canon: Column, depth: Column): DataFrame =
+    df.withColumn("canonUrl", canon)
+      .withColumn("urlHash", xxhash64(col("canonUrl")))
+      .withColumn("host", gf.url_host(col("canonUrl")))
+      .withColumn("depth", depth)
+      .withColumn("score", UrlScoring.urlScore(col("canonUrl"),
+        concat(lit("https://"), col("host"), lit("/"))))
+
+  /**
+   * Probe-URL generation (healthcare_scraper.py:140-151): for each base
+   * url, candidate facility-listing urls per facility keyword in four
+   * suffix forms — a literal-array explode, resolved + deduped. Probes
+   * that 404 (no page-store row) flow through the dead-letter path (T8),
+   * exactly like the reference's failed probe fetches.
+   */
+  def probeUrls(bases: DataFrame, urlCol: String = "url"): DataFrame = {
+    val variants = graft.functions.UrlPredicates.facilityKeywords
+      .flatMap(p => Seq(s"/$p", s"/$p/", s"/$p.html", s"/$p.php"))
+    bases.select(col(urlCol).as("base"),
+      explode(array(variants.map(lit): _*)).as("probe"))
+      .select(gf.resolve_url(col("base"), col("probe")).as("url"))
+      .dropDuplicates("url")
   }
 
   /** Seed urls → round-0 frontier. */
-  def seedFrontier(seeds: DataFrame, urlCol: String = "url"): DataFrame = {
-    val canon = gf.canonicalize_url(col(urlCol))
-    frontierCols(canon, lit(0)).foldLeft(seeds.withColumn("url", col(urlCol)))(
-      (df, kv) => df.withColumn(kv._1, kv._2))
+  def seedFrontier(seeds: DataFrame, urlCol: String = "url"): DataFrame =
+    withFrontierCols(seeds.withColumn("url", col(urlCol)),
+      gf.canonicalize_url(col(urlCol)), lit(0))
       .dropDuplicates("urlHash")
-  }
 
   /** F2: the reference's 18 exclude substrings (navigation.py:370-373,
     * config.py:89-93) as one alternation. */
@@ -73,24 +88,36 @@ object CrawlRound {
     "sitemap\\.xml|login|signin|register|cart|checkout|\\.pdf|\\.jpg|\\.png"
 
   /**
-   * Extract link candidates from fetched pages: href regex → resolve →
-   * canonicalize → score; non-web schemes + excluded patterns dropped;
-   * robots disallow prefixes enforced via broadcast join
+   * One-pass link records from fetched pages via the multi-column
+   * Generator (SURVEY.md C26 + F3's anchor-text half): a row per
+   * `<a href>` anchor with (baseUrl, depth, href, anchor_text, rel).
+   */
+  def linkRecords(fetched: DataFrame): DataFrame =
+    fetched
+      .filter(col("fetchOk"))
+      .select(col("canonUrl").as("baseUrl"), col("depth"),
+        gf.extract_links(col("html")).as(Seq("href", "anchor_text", "rel")))
+
+  /**
+   * Extract link candidates from fetched pages: anchor Generator →
+   * resolve → canonicalize → score; non-web schemes + excluded patterns
+   * dropped; robots disallow prefixes enforced via broadcast join
    * (SURVEY.md C26/C2/C3/F2/J5).
    */
   def discoverLinks(fetched: DataFrame, robots: DataFrame, cfg: CrawlConfig): DataFrame = {
-    val htmlStr = col("html").cast("string")
-    val hrefs = fetched
-      .filter(col("fetchOk"))
-      .select(col("canonUrl").as("baseUrl"), col("depth"),
-        explode(regexp_extract_all(htmlStr, lit("href=[\"']([^\"']+)[\"']"), lit(1))).as("href"))
+    val hrefs = linkRecords(fetched)
       .filter(!col("href").rlike("^(mailto:|tel:|javascript:)"))
     val canon = gf.canonicalize_url(gf.resolve_url(col("baseUrl"), col("href")))
-    val linked = frontierCols(canon, col("depth") + 1)
-      .foldLeft(hrefs.withColumn("url", col("href")))(
-        (df, kv) => df.withColumn(kv._1, kv._2))
+    // W7: pagination-chain cap — "next page" urls carry a page number;
+    // chains deeper than maxPageNo are cut (navigation.py:451's 50-page
+    // guard, as a declarative filter instead of a loop counter)
+    val pn = regexp_extract(lower(col("canonUrl")), "page[-=/](\\d{1,9})", 1)
+    val pageNo = when(pn === "", lit(0)).otherwise(pn.cast("int")) // '' cast throws under ANSI
+    val linked = withFrontierCols(hrefs.withColumn("url", col("href")),
+        canon, col("depth") + 1)
       .filter(col("depth") <= cfg.maxDepth && col("score") >= cfg.minScore)
       .filter(!lower(col("canonUrl")).rlike(excludePattern))
+      .filter(pageNo <= cfg.maxPageNo)
       .select("url", "canonUrl", "urlHash", "host", "depth", "score")
     // robots: drop urls whose path starts with a disallowed prefix (J5)
     linked.join(broadcast(robots.select(col("host"), col("disallow"))), Seq("host"), "left")

@@ -54,7 +54,12 @@ object Crawler {
     var frontier: DataFrame = resumeRound match {
       case Some(k) => ck(store.get.readFrontier(k))
       case None =>
-        val f0 = ck(CrawlRound.seedFrontier(seeds))
+        // probe seeding (healthcare_scraper.py:140-151): candidate
+        // facility-listing urls per seed domain join the round-0 frontier
+        val seeded = if (cfg.probeSeeds)
+          seeds.select("url").unionByName(CrawlRound.probeUrls(seeds))
+        else seeds
+        val f0 = ck(CrawlRound.seedFrontier(seeded))
         store.foreach(_.writeRound(0, f0,
           f0.select("urlHash").limit(0), emptyOrder(spark)))
         f0

@@ -43,6 +43,23 @@ object UrlPredicates {
     (keyword || segmentIndicator) && !excluded
   }
 
+  /** The reference's FACILITY_URL_PATTERNS keyword list
+    * (config.py:29-34) — matched against link text and href. */
+  val facilityKeywords: Seq[String] = Seq(
+    "locations", "facilities", "centers", "communities", "properties",
+    "find-a-location", "our-locations", "care-centers", "nursing-homes",
+    "assisted-living", "memory-care", "senior-living",
+    "directory", "find-care", "location-finder", "facility-locator")
+
+  /** F3 full form (healthcare_scraper.py:187-198): a link is
+    * facility-related if a facility keyword appears in its ANCHOR TEXT or
+    * the url qualifies by path — the text half needs the multi-column
+    * link Generator (gf.extract_links) upstream. */
+  def isFacilityLink(url: Column, anchorText: Column): Column = {
+    val t = lower(coalesce(anchorText, lit("")))
+    facilityKeywords.map(k => t.contains(k)).reduce(_ || _) || isFacilityUrl(url)
+  }
+
   /** C27: address from a Google-Maps-style href's q= parameter
     * (extractors.py:312-321): decode '+' and %20 to spaces. */
   def mapsUrlAddress(href: Column): Column = {

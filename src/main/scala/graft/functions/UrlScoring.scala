@@ -37,8 +37,19 @@ object UrlScoring {
     when(base.isNull, lit(0))
       .otherwise(gf.path_segments(url) - gf.path_segments(base))
 
-  /** Score per url_scorer.py:46-101. Returns DOUBLE. */
-  def urlScore(url: Column, base: Column): Column = {
+  /** Score per url_scorer.py:46-101. Returns DOUBLE.
+    * ONE codegen'd expression node ([[graft.expr.UrlScore]]) — the
+    * equivalent when/rlike column tree was ~100 Catalyst nodes and its
+    * per-round analysis cost was the serial driver floor (BASELINE.md
+    * round-1); semantics pinned by the url_scores.json fixture either
+    * way. [[urlScoreColumnTree]] keeps the declarative form for the
+    * differential test. */
+  def urlScore(url: Column, base: Column): Column = gf.url_score(url, base)
+
+  /** The original declarative form — kept as a differential oracle for
+    * [[urlScore]] (OperatorSpec asserts tree ≡ expression on the fixture
+    * corpus). */
+  def urlScoreColumnTree(url: Column, base: Column): Column = {
     val path = lower(gf.url_path(url))
     val query = lower(gf.url_query(url))
     val urlLower = lower(url)

@@ -21,6 +21,20 @@ object gf {
   def char_overlap_sim(a: Column, b: Column): Column =
     column(CharOverlapSim(expression(a), expression(b)))
 
+  /** One-pass facility-field probe over raw HTML (struct of all
+    * page-level extraction layers — see [[graft.expr.HtmlFacilityProbe]]). */
+  def html_probe(html: Column): Column = column(HtmlFacilityProbe(expression(html)))
+
+  /** Multi-column link Generator: a row per `<a href>` anchor —
+    * (href, anchor_text, rel) in one html pass (SURVEY.md C26 + the
+    * anchor-text half of F3). Use in select() like explode(). */
+  def extract_links(html: Column): Column = column(ExtractLinks(expression(html)))
+
+  /** Reference URLScorer score (url_scorer.py:44-115) as one codegen'd
+    * expression node; base nullable (null → depth 0). */
+  def url_score(url: Column, base: Column): Column =
+    column(UrlScore(expression(url), expression(base)))
+
   /** Partitioned-Bloom seen-set aggregate (SURVEY.md §2.10): builds a
     * serialized BloomFilter over LONG inputs. */
   def bloom_agg(values: Column, expectedItems: Long, fpp: Double = 0.01): Column =

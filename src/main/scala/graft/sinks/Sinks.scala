@@ -46,7 +46,18 @@ object Sinks {
       sum(when(!col("success"), 1).otherwise(0)).as("failed"),
       sum("facilities_count").as("total_facilities"))
 
-  /** K5 read-back half: load per-chain JSON outputs back for consolidation. */
+  /** K5 write half: per-chain JSON outputs — one directory per chain in
+    * a single distributed partitioned write (the reference writes one
+    * JSON file per chain run, csv_processor.py:441-457). */
+  def writePerChain(facilities: DataFrame, path: String): Unit =
+    facilities.write.mode("overwrite").partitionBy("corporation_name").json(path)
+
+  /** K5 read-back half: load per-chain JSON outputs, corporation_name
+    * restored from the partition directory (csv_processor.py:488-494). */
+  def readPerChain(spark: SparkSession, dir: String): DataFrame =
+    spark.read.option("basePath", dir).json(s"$dir/corporation_name=*")
+
+  /** K5 read-back half (flat layout): load per-chain JSON outputs. */
   def readJsonOutputs(spark: SparkSession, dir: String): DataFrame =
     spark.read.json(s"$dir/*")
 }

@@ -74,13 +74,33 @@ object Chains {
   }
 
   /** J4/K5: consolidate per-chain facility outputs with chain metadata —
-    * broadcast join, chains ≤ 10 000 rows (csv_processor.py:483-525). */
+    * the reference stamps each facility with its producing chain's
+    * metadata keyed by corporation_name (csv_processor.py:496-504).
+    * Broadcast hash equi-join (chains ≤ 10 000 rows, csv_processor.py:68);
+    * facilities from unknown chains keep null metadata. */
   def consolidate(facilities: DataFrame, chains: DataFrame): DataFrame =
     facilities.join(
       broadcast(chains.select(
-        col("corporation_name").as("source_corporation"),
+        col("corporation_name"),
         col("priority").as("corporation_priority"),
-        col("facility_types").as("corporation_facility_types"),
-        col("primary_url"))),
-      facilities("sourceUrl").startsWith(chains("primary_url")), "left")
+        col("facility_types").as("corporation_facility_types"))),
+      Seq("corporation_name"), "left")
+      .withColumn("source_corporation", col("corporation_name"))
+
+  /** Attribute facility rows to their producing chain by URL host — a
+    * broadcast hash equi-join on host with the reference's url-prefix
+    * check (sourceUrl startsWith primary_url) as a cheap post-filter.
+    * (A bare startsWith theta-join would plan as BroadcastNestedLoopJoin:
+    * O(facilities × chains) predicate evals.) */
+  def attribute(facilities: DataFrame, chains: DataFrame): DataFrame = {
+    val meta = broadcast(chains.select(
+      col("corporation_name"), col("primary_url"),
+      graft.functions.gf.url_host(col("primary_url")).as("__chainHost")))
+    facilities
+      .withColumn("__host", graft.functions.gf.url_host(col("sourceUrl")))
+      .join(meta, col("__host") === col("__chainHost"), "left")
+      .filter(col("corporation_name").isNull ||
+        col("sourceUrl").startsWith(col("primary_url")))
+      .drop("__host", "__chainHost", "primary_url")
+  }
 }

@@ -36,16 +36,29 @@ object StreamingCrawl {
       .withColumn("depth", col("depth").cast("int"))
       .write.mode("append").parquet(s"$root/frontier_stream")
 
+  /** Committed round=k snapshot dirs under `root/sub` — a dir counts only
+    * with its `_SUCCESS` marker, so an interrupted overwrite (crash/stop
+    * mid-batch) is invisible to readers until the replayed batch commits. */
+  private def committedRounds(root: String, sub: String): Seq[String] = {
+    val dir = new java.io.File(s"$root/$sub")
+    Option(dir.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith("round=") &&
+        new java.io.File(f, "_SUCCESS").exists())
+      .map(_.getPath).toIndexedSeq
+  }
+
+  /** Test hook: full seen-store loads performed (must be once per query
+    * start — the per-batch path carries seen incrementally). */
+  private[streaming] var seenLoads: Int = 0
+
   private def seenSoFar(spark: SparkSession, root: String): (DataFrame, Long) = {
-    val dir = new java.io.File(s"$root/seen")
-    val rounds = Option(dir.listFiles()).getOrElse(Array.empty)
-      .filter(f => f.isDirectory && f.getName.startsWith("round="))
+    seenLoads += 1
+    val rounds = committedRounds(root, "seen")
     if (rounds.isEmpty) {
       import spark.implicits._
       (Seq.empty[Long].toDF("urlHash"), 0L)
     } else {
-      val df = spark.read.parquet(rounds.map(_.getPath).toIndexedSeq: _*)
-        .select("urlHash")
+      val df = spark.read.parquet(rounds: _*).select("urlHash")
       (df, df.count())
     }
   }
@@ -53,6 +66,22 @@ object StreamingCrawl {
   /**
    * Start the streaming crawl. One micro-batch = one politeness round over
    * every frontier delta that arrived since the last batch.
+   *
+   * Crash/replay safety — writes are ordered so an interrupted batch
+   * (stop() or crash at ANY point) replays to the same final state:
+   *   1. frontier_stream append FIRST (duplicate appended files on replay
+   *      are idempotent: dedupeCandidates + filterUnseen collapse them),
+   *   2. order/round=k overwrite,
+   *   3. seen/round=k overwrite LAST — once seen is committed the replayed
+   *      batch's frontier filters to empty and the round no-ops, but its
+   *      discovered links are already durably in the stream.
+   * (The reverse order lost a round's links permanently: the replayed
+   * batch saw its own urlHashes in seen, skipped, and never re-appended.)
+   *
+   * Seen state is INCREMENTAL: loaded once per query start from committed
+   * snapshots, then carried across micro-batches as a checkpointed
+   * DataFrame + running count — never a full seen-store re-read per round
+   * (at 10^10 seen URLs a per-round rescan is the bottleneck).
    */
   def start(spark: SparkSession, root: String, pagesKeyed: DataFrame,
             robots: DataFrame, cfg: CrawlConfig): StreamingQuery = {
@@ -60,42 +89,58 @@ object StreamingCrawl {
       .schema(frontierSchema)
       .parquet(s"$root/frontier_stream")
 
+    // per-query incremental seen state (foreachBatch runs sequentially)
+    var seenDf: DataFrame = null
+    var seenCount: Long = 0L
+
     stream.writeStream
       .option("checkpointLocation", s"$root/checkpoint")
       .trigger(Trigger.ProcessingTime(0L))
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val s = batch.sparkSession
         val round = batchId.toInt + 1
-        val (seen, seenCount) = seenSoFar(s, root)
+        if (seenDf == null) {
+          val (d, c) = seenSoFar(s, root)
+          seenDf = d.localCheckpoint(); seenCount = c
+        }
         // frontier deltas may contain urls seen in earlier rounds
         val frontier = SeenSet.filterUnseen(
-          CrawlRound.dedupeCandidates(batch), seen, seenCount, cfg)
+          CrawlRound.dedupeCandidates(batch), seenDf, seenCount, cfg)
           .localCheckpoint(true)
         if (!frontier.isEmpty) {
           val r = CrawlRound.run(round, frontier, pagesKeyed, robots, cfg,
             df => df.localCheckpoint(true))
-          r.fetched.select("urlHash")
-            .write.mode("overwrite").parquet(s"$root/seen/round=$round")
-          r.order.write.mode("overwrite").parquet(s"$root/order/round=$round")
-          // deferred (over politeness budget) + fresh discoveries feed the
-          // next micro-batch through the watched directory
+          // write 1: next-round deltas (deferred over-budget rows + fresh
+          // discoveries) feed the next micro-batch through the watched dir
           r.deferred.unionByName(r.discovered)
             .select("url", "canonUrl", "urlHash", "host", "depth", "score")
             .withColumn("depth", col("depth").cast("int"))
             .write.mode("append").parquet(s"$root/frontier_stream")
+          // write 2: crawl-order snapshot
+          r.order.write.mode("overwrite").parquet(s"$root/order/round=$round")
+          // write 3 (LAST): seen snapshot
+          val delta = r.fetched.select("urlHash")
+          delta.write.mode("overwrite").parquet(s"$root/seen/round=$round")
+          // carry seen forward in memory (budgeted rows are urlHash-unique
+          // and pre-filtered against seen, so the delta is disjoint)
+          seenDf = seenDf.unionByName(delta).localCheckpoint()
+          seenCount += delta.count()
         }
         ()
       }
       .start()
   }
 
-  /** All crawl-order rows committed by the stream so far. */
+  /** All crawl-order rows committed by the stream so far (empty-schema
+    * frame when no round has committed yet). */
   def readOrder(spark: SparkSession, root: String): DataFrame = {
-    val dir = new java.io.File(s"$root/order")
-    val rounds = Option(dir.listFiles()).getOrElse(Array.empty)
-      .filter(f => f.isDirectory && f.getName.startsWith("round="))
-    spark.read.option("basePath", s"$root/order")
-      .parquet(rounds.map(_.getPath).toIndexedSeq: _*)
+    val rounds = committedRounds(root, "order")
+    if (rounds.isEmpty) {
+      import spark.implicits._
+      Seq.empty[(Int, String, Int, String, Long, Double, Boolean)]
+        .toDF("round", "host", "hostRank", "canonUrl", "urlHash", "score", "fetchOk")
+    } else
+      spark.read.option("basePath", s"$root/order").parquet(rounds: _*)
   }
 
   /**

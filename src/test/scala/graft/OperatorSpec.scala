@@ -47,6 +47,53 @@ class OperatorSpec extends SparkTestBase {
     assert(batches("Acme Care") == 0 && batches("Gamma Living") == 1)
   }
 
+  test("consolidate: per-chain JSON round-trip, broadcast equi-join enrichment, run summary") {
+    val dir = tmpDir("consolidate")
+    val chains = Seq(
+      ("Acme Care", "https://acme.example.com", 1, Seq("skilled nursing")),
+      ("Beta Health", "https://beta.example.com", 2, Seq("assisted living")))
+      .toDF("corporation_name", "primary_url", "priority", "facility_types")
+    val facilities = Seq(
+      ("https://acme.example.com/loc/1", "Acme One", "Acme Care"),
+      ("https://acme.example.com/loc/2", "Acme Two", "Acme Care"),
+      ("https://beta.example.com/f/9", "Beta Nine", "Beta Health"),
+      ("https://other.example.com/x", "Unattributed", "Ghost Chain"))
+      .toDF("sourceUrl", "name", "corporation_name")
+
+    // K5 write + read-back: one JSON dir per chain, partition col restored
+    Sinks.writePerChain(facilities, s"$dir/perchain")
+    val back = Sinks.readPerChain(spark, s"$dir/perchain")
+    assert(back.count() == 4)
+    assert(back.select("corporation_name").distinct().count() == 3)
+
+    // J4: broadcast hash equi-join on corporation_name (never a
+    // nested-loop theta join — asserted on the physical plan)
+    val consolidated = Chains.consolidate(back, chains)
+    val plan = consolidated.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"expected BroadcastHashJoin in:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin"))
+    val acme = consolidated.filter($"name" === "Acme One")
+      .select("source_corporation", "corporation_priority").as[(String, Int)].head()
+    assert(acme == ("Acme Care", 1))
+    // unknown chain keeps null metadata (left join)
+    assert(consolidated.filter($"name" === "Unattributed")
+      .select("corporation_priority").head().isNullAt(0))
+
+    // host attribution: equi-join + prefix post-filter, no nested loop
+    val attributed = Chains.attribute(facilities.drop("corporation_name"), chains)
+    assert(!attributed.queryExecution.executedPlan.toString.contains("BroadcastNestedLoopJoin"))
+    val m = attributed.select("name", "corporation_name").as[(String, String)].collect().toMap
+    assert(m("Acme One") == "Acme Care" && m("Beta Nine") == "Beta Health")
+    assert(m("Unattributed") == null)
+
+    // K6/A1: run-summary counts (main.py:94-104 shape)
+    val results = Seq(("Acme Care", true, 2L), ("Beta Health", true, 1L),
+      ("Ghost Chain", false, 0L)).toDF("corporation_name", "success", "facilities_count")
+    val s = Sinks.runSummary(results)
+      .as[(Long, Long, Long, Long)].head()
+    assert(s == ((3L, 2L, 1L, 3L)))
+  }
+
   test("seed file scan: comments skipped, https prepended") {
     val dir = tmpDir("seeds")
     java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/seeds.txt"),
@@ -174,11 +221,16 @@ class OperatorSpec extends SparkTestBase {
     val lsh = Similarity.annLsh(vecs, "vec_id", "embedding", q, 5, planes = 4)
       .select("vec_id").as[Long].collect()
     assert(lsh.contains(7L)) // query's own bucket contains the query vector
-    val assigned = Similarity.ivfAssign(vecs, "vec_id", "embedding", 8)
+    val cents = Similarity.ivfCentroids(vecs, "vec_id", "embedding", 8, iters = 1)
+    val assigned = Similarity.ivfAssign(vecs, "vec_id", "embedding", cents)
     assert(assigned.select("centroid").distinct().count() <= 8)
-    val ivf = Similarity.annIvf(assigned, "vec_id", "embedding", q, 5, nProbe = 3)
+    val ivf = Similarity.annIvf(assigned, "vec_id", "embedding", q, 5, nProbe = 3, cents)
       .select("vec_id").as[Long].collect()
     assert(ivf.nonEmpty)
+    // determinism: same result under a different partitioning
+    val ivf2 = Similarity.annIvf(assigned.repartition(7), "vec_id", "embedding",
+      q, 5, nProbe = 3, cents).select("vec_id").as[Long].collect()
+    assert(ivf.toSeq == ivf2.toSeq)
   }
 
   // ---------- text ops ----------

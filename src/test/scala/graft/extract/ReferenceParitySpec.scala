@@ -30,6 +30,16 @@ class ReferenceParitySpec extends SparkTestBase {
     assert(badRows.isEmpty, s"mismatches:\n${badRows.mkString("\n")}")
   }
 
+  test("url_score expression ≡ declarative column tree (differential, fixture corpus)") {
+    val fx = fixture("url_scores.json")
+    val diff = fx
+      .withColumn("e", UrlScoring.urlScore($"url", $"base"))
+      .withColumn("t", UrlScoring.urlScoreColumnTree($"url", $"base"))
+      .filter(!($"e" <=> $"t"))
+      .select("url", "base", "e", "t").collect()
+    assert(diff.isEmpty, s"expression/tree mismatches:\n${diff.mkString("\n")}")
+  }
+
   test("ranking by score matches reference rank_urls score sequence") {
     val fx = fixture("url_rank.json").collect()
       .map(r => (r.getAs[String]("url"), r.getAs[Double]("score")))
@@ -83,6 +93,37 @@ class ReferenceParitySpec extends SparkTestBase {
       .filter(abs($"ourSim" - $"sim") > 1e-9)
     val bad = joined.select("i", "j", "sim", "ourSim").collect()
     assert(bad.isEmpty, s"similarity mismatches:\n${bad.mkString("\n")}")
+  }
+
+  test("fuzzy dedup: cross-zip phone+addr+name duplicate is caught (phone block)") {
+    // score 0.4 (phone) + 0.3 (addr) + 0.2 (name) = 0.9 ≥ 0.85 with
+    // DIFFERENT non-null zips — zip-only blocking missed this pair
+    val facs = Seq(
+      ("u1", "Sunrise Manor", "12 Oak Street", "Springfield", "11111", "(555) 123-4567"),
+      ("u2", "Sunrise Manor", "12 Oak Street", "Springfield", "99999", "(555) 123-4567"),
+      ("u3", "Other Place", "99 Elm Avenue", "Shelby", "22222", "(555) 987-6543"))
+      .toDF("sourceUrl", "name", "address", "city", "zipCode", "phone")
+    val survivors = Dedup.fuzzy(facs).select("sourceUrl").as[String].collect().toSet
+    assert(survivors == Set("u1", "u3"))
+  }
+
+  test("fuzzy dedup: planted 10k-row hot-zip block completes bounded") {
+    // 10 000 distinct facilities in ONE zip: unrefined blocking would pair
+    // 5·10⁷ candidates in one task; the name-initial refinement splits the
+    // block ~27 ways and the per-block cap bounds the worst case.
+    val n = 10000
+    val facs = spark.range(n.toLong).selectExpr(
+      "format_string('u%05d', id) AS sourceUrl",
+      // distinct names spread over initials; no dup pair scores ≥ 0.85
+      "concat(chr(97 + CAST(id % 26 AS INT)), 'fac', id) AS name",
+      "concat(id, ' Main Street') AS address",
+      "'Metropolis' AS city",
+      "'10001' AS zipCode",
+      "format_string('(555) %03d-%04d', CAST(id / 10000 AS INT), CAST(id % 10000 AS INT)) AS phone")
+    val t0 = System.nanoTime()
+    assert(Dedup.fuzzy(facs, maxBlockSize = 1000).count() == n.toLong)
+    val sec = (System.nanoTime() - t0) / 1e9
+    assert(sec < 120.0, f"hot-zip fuzzy dedup took $sec%.1f s — block guard not effective")
   }
 
   test("batch dedup pipeline drops every duplicate the reference drops") {

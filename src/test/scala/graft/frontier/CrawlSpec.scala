@@ -113,6 +113,69 @@ class CrawlSpec extends SparkTestBase {
     assert(fullCrawl.order.filter($"canonUrl".contains("/news/")).count() == 0)
   }
 
+  test("link Generator: (href, anchor_text, rel) in one pass; anchor text flips the F3 verdict") {
+    import graft.functions.UrlPredicates
+    val html = """<html><body>
+      |<a href="/about/team" rel="nofollow">Visit <b>Our Locations</b> Directory</a>
+      |<a href="/about/staff">Meet the team</a>
+      |<a href="/locations/springfield">Springfield</a>
+      |<a id="x">no href, skipped</a>
+      |</body></html>""".stripMargin
+    val links = Seq((html, "https://x.example.com/about/team"))
+      .toDF("html", "base")
+      .select(gf.extract_links($"html").as(Seq("href", "anchor_text", "rel")))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2)))
+    assert(links.toSeq == Seq(
+      ("/about/team", "Visit Our Locations Directory", "nofollow"),
+      ("/about/staff", "Meet the team", null),
+      ("/locations/springfield", "Springfield", null)))
+
+    // F3 full form: /about/team is NOT a facility url by path, but its
+    // anchor text contains facility keywords → verdict flips to true
+    val verdicts = Seq(
+      ("https://x.example.com/about/team", "Visit Our Locations Directory"),
+      ("https://x.example.com/about/staff", "Meet the team"),
+      ("https://x.example.com/locations/springfield", "Springfield"))
+      .toDF("url", "anchor")
+      .select(UrlPredicates.isFacilityUrl($"url").as("byUrl"),
+        UrlPredicates.isFacilityLink($"url", $"anchor").as("byLink"))
+      .as[(Boolean, Boolean)].collect().toSeq
+    assert(verdicts == Seq((false, true), (false, false), (true, true)))
+
+    // the crawl's linkRecords pass matches the raw html's anchor set
+    val rec = CrawlRound.linkRecords(
+      pages.limit(5).withColumn("canonUrl", gf.canonicalize_url($"url"))
+        .withColumn("depth", lit(0)).withColumn("fetchOk", lit(true)))
+    assert(rec.count() > 0)
+    assert(rec.filter($"anchor_text".isNull).count() == 0)
+  }
+
+  test("pagination cap (W7): no url past page 50 is ever crawled or queued") {
+    assert(fullCrawl.order
+      .filter(regexp_extract(lower($"canonUrl"), "page[-=/](\\d{1,9})", 1) =!= "")
+      .filter(regexp_extract(lower($"canonUrl"), "page[-=/](\\d{1,9})", 1).cast("int") > 50)
+      .count() == 0)
+    // not vacuous: sub-50 pagination pages do get crawled
+    assert(fullCrawl.order
+      .filter($"canonUrl".contains("/our-locations/page-")).count() > 0)
+  }
+
+  test("probe-URL seeding: facility-listing probes join round 0; misses dead-letter (T8)") {
+    val probes = CrawlRound.probeUrls(seeds)
+    // 16 keywords × 4 suffix forms, resolved against the seed root
+    assert(probes.count() ==
+      graft.functions.UrlPredicates.facilityKeywords.length * 4L)
+    assert(probes.filter($"url" === s"https://${Synth.hostName(0)}/locations/").count() == 1)
+
+    // budget > probes so round 1 fetches the whole seeded frontier
+    val probed = Crawler.crawl(spark, pages, robots, seeds,
+      crawlCfg.copy(probeSeeds = true, perHostBudget = 100), 1, None, Some(keyed))
+    // probes for nonexistent pages flow through the dead-letter path
+    assert(probed.order.filter(!$"fetchOk").count() == 64)
+    // the real seed still fetches
+    assert(probed.order.filter($"fetchOk").count() == 1)
+  }
+
   test("cumulative per-site cap (L3) holds across rounds") {
     val capped = Crawler.crawl(spark, pages, robots, seeds,
       crawlCfg.copy(maxPagesPerSite = 30), 8, None, Some(keyed))

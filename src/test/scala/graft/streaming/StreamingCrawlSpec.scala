@@ -20,9 +20,21 @@ class StreamingCrawlSpec extends SparkTestBase {
   test("streaming crawl matches the batch crawler's fetch set and politeness") {
     val root = java.nio.file.Files.createTempDirectory("graft-stream").toString
     StreamingCrawl.writeSeeds(spark, root, seeds)
+    val listener = new CrawlQueryListener
+    spark.streams.addListener(listener)
+    StreamingCrawl.seenLoads = 0
     val q = StreamingCrawl.start(spark, root, keyed, robots, crawlCfg)
     q.processAllAvailable()
     q.stop()
+    spark.streams.removeListener(listener)
+
+    // T7: the listener captured per-micro-batch metrics
+    assert(listener.batches.nonEmpty)
+    assert(listener.totalRows > 0 && listener.meanRate > 0.0)
+    // incremental seen state: the full store was loaded exactly once per
+    // query start, not once per round
+    assert(StreamingCrawl.seenLoads == 1,
+      s"expected 1 full seen load, got ${StreamingCrawl.seenLoads}")
 
     val streamOrder = StreamingCrawl.readOrder(spark, root).cache()
     val batch = Crawler.crawl(spark, pages, robots, seeds, crawlCfg, 50, None, Some(keyed))
@@ -54,7 +66,7 @@ class StreamingCrawlSpec extends SparkTestBase {
     q1.awaitTermination(8000)
     q1.stop()
     val roundsAfterStop = StreamingCrawl.readOrder(spark, root)
-      .select(max("round")).as[Int].collect().head
+      .select(coalesce(max("round"), lit(0))).as[Int].collect().head
     // phase 2: restart with the same checkpoint; drain fully
     val q2 = StreamingCrawl.start(spark, root, keyed, robots, crawlCfg)
     q2.processAllAvailable()

@@ -92,6 +92,126 @@ with open(f"{OUT}/dedup_survivors.json", "w") as f:
                "stats": dd.get_stats()}, f, indent=1)
 print(f"dedup_survivors.json: {len(unique)} survivors of {len(FACILITIES)}")
 
+# ---------- schema-selection fixture ----------
+# schema_based_extractor.py cannot be imported (crawl4ai dependency +
+# the :646 syntax error), so the pure selection logic
+# (get_best_schema :302-327, _matches_pattern :329-332,
+# _analyze_html_compatibility :334-366) is transcribed here verbatim and
+# run on synthetic pages; the Scala SchemaSelect must reproduce the
+# (name, score, via) triples exactly.
+import fnmatch, re as _re
+
+SCHEMAS = [  # (name, site_patterns, baseSelector, field selectors) :43-300
+    ("standard_facility_listing",
+     ["*facility*", "*location*", "*community*", "*center*"],
+     ".facility-card, .location-card, .community-card, .center-card",
+     ["h1, h2, h3, .facility-name, .location-name, .community-name",
+      ".address, .location, .street-address, [itemprop='streetAddress']",
+      ".city, [itemprop='addressLocality']",
+      ".state, [itemprop='addressRegion']",
+      ".zip, .postal-code, [itemprop='postalCode']",
+      ".phone, .telephone, [itemprop='telephone'], a[href^='tel:']",
+      "a[href*='http'], .website-link, .facility-link",
+      ".facility-type, .care-type, .service-type",
+      ".services li, .amenities li, .care-services li"]),
+    ("table_facility_listing", ["*table*", "*directory*", "*list*"],
+     "table tr, .facility-table tr, .location-table tr",
+     ["td:first-child, .facility-name, .name-column",
+      "td:nth-child(2), .address-column",
+      "td:nth-child(3), .phone-column, a[href^='tel:']",
+      "td:nth-child(4), .type-column"]),
+    ("individual_facility_detail",
+     ["*facility/*", "*location/*", "*community/*"],
+     "body, .facility-details, .location-details",
+     ["h1, .facility-name, .page-title",
+      ".address, .contact-info .address, [itemprop='streetAddress']",
+      ".city, [itemprop='addressLocality']",
+      ".state, [itemprop='addressRegion']",
+      ".zip, [itemprop='postalCode']",
+      ".phone, [itemprop='telephone'], a[href^='tel:']",
+      ".email, a[href^='mailto:']",
+      ".administrator, .director, .manager",
+      ".beds, .capacity, .bed-count",
+      ".services li, .amenities li, .features li",
+      ".description, .about, .overview"]),
+    ("sunrise_senior_living", ["*sunriseseniorliving.com*"],
+     ".community-card, .location-result",
+     [".community-name, h3", ".address-line-1", ".address-line-2",
+      ".phone-number, a[href^='tel:']", ".care-types li, .services li"]),
+    ("lcca_state_listing", ["*lcca.com/locations/*"], ".facCard",
+     [".facName h2", ".facAddress", "span[itemprop='addressLocality']",
+      "span[itemprop='addressRegion']", "span[itemprop='postalCode']",
+      "a[href^='tel:']", "a.btnMainCTA", ".serviceType li:first-child",
+      ".serviceType li"]),
+]
+
+def _compat(html, base_selector, field_selectors):
+    score = 0; total = 0
+    for selector in base_selector.split(", "):
+        if "." in selector:
+            class_name = selector.split(".")[1].split(" ")[0]
+            if class_name in html: score += 1
+        elif "#" in selector:
+            id_name = selector.split("#")[1].split(" ")[0]
+            if f'id="{id_name}"' in html: score += 1
+        total += 1
+    for selector in field_selectors:
+        if "." in selector:
+            for class_name in _re.findall(r'\.([a-zA-Z0-9_-]+)', selector):
+                if class_name in html: score += 0.5
+                total += 1
+    return score / max(total, 1)
+
+def best_schema(url, html):
+    for name, pats, _, _ in SCHEMAS:
+        for p in pats:
+            if fnmatch.fnmatch(url.lower(), p.lower()):
+                return name, None, "url"
+    best, best_score = None, 0
+    for name, _, base, fields in SCHEMAS:
+        s = _compat(html, base, fields)
+        if s > best_score:
+            best_score, best = s, name
+    if best and best_score > 0.3:
+        return best, round(best_score, 6), "html"
+    return None, None, None
+
+SCHEMA_PAGES = [
+    # url glob wins regardless of html
+    ("https://www.lcca.com/locations/kansas/", "<html><body>nothing</body></html>"),
+    ("https://x.example.com/our-table-of-things", "<html></html>"),
+    # facCard page behind a non-glob url → html scoring
+    ("https://x.example.com/page-a",
+     '<div class="facCard"><div class="facName"><h2>A</h2></div>'
+     '<div class="facAddress">1 Main</div><ul class="serviceType"><li>SNF</li></ul></div>'),
+    # standard cards
+    ("https://y.example.com/page-b",
+     '<div class="facility-card"><span class="facility-name">N</span>'
+     '<span class="address">1 Main</span><span class="city">C</span>'
+     '<span class="state">KS</span><span class="zip">11111</span>'
+     '<span class="phone">555</span><ul class="services"><li>x</li></ul></div>'),
+    # sunrise-shaped page
+    ("https://z.example.com/page-c",
+     '<div class="community-card"><span class="community-name">S</span>'
+     '<span class="address-line-1">1</span><span class="address-line-2">2</span>'
+     '<span class="phone-number">5</span><ul class="care-types"><li>AL</li></ul></div>'),
+    # nothing matches → below threshold
+    ("https://q.example.com/page-d", "<html><body><p>plain</p></body></html>"),
+    # detail-ish page
+    ("https://q.example.com/page-e",
+     '<div class="facility-details"><h1 class="page-title">T</h1>'
+     '<span class="address">1 Main</span><span class="beds">12 beds</span>'
+     '<span class="administrator">Dr. A</span><div class="description">d</div></div>'),
+]
+srows = []
+for u, h in SCHEMA_PAGES:
+    name, score, via = best_schema(u, h)
+    srows.append({"url": u, "html": h, "schema_name": name,
+                  "schema_score": score, "schema_via": via})
+with open(f"{OUT}/schema_select.json", "w") as f:
+    json.dump(srows, f, indent=1)
+print(f"schema_select.json: {len(srows)} rows")
+
 # ---------- pairwise similarity fixture ----------
 pairs = []
 dd2 = FacilityDeduplicator(threshold=0.85)
