@@ -19,9 +19,10 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val parts = sys.env.getOrElse("SPARK_GRAFT_PARTS", cpus)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", parts)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
@@ -42,8 +43,21 @@ object Bench {
       keepPayload = false)            // drain benchmark: slim round state
 
     val pages = PageSynth.pages(spark, synthCfg).toDF()
-    val keyed = Crawler.keyPages(pages, cpus.toInt)
-    keyed.count() // materialize the page store outside the timed region
+    // GRAFT_BENCH_STORE=bucketed:<n> drains against an on-disk
+    // bucket-partitioned store (PageStore) with runtime file skipping,
+    // instead of the in-memory keyed cache
+    val storeSpec = sys.env.getOrElse("GRAFT_BENCH_STORE", "memory")
+    val (keyed, crawlCfg0) =
+      if (storeSpec.startsWith("bucketed")) {
+        val nb = storeSpec.split(":").lift(1).map(_.toInt).getOrElse(64)
+        val dir = java.nio.file.Files.createTempDirectory("graft-pstore").toString
+        graft.frontier.PageStore.write(pages, dir, nb)
+        (graft.frontier.PageStore.open(spark, dir), crawlCfg.copy(pageBuckets = nb))
+      } else {
+        val k = Crawler.keyPages(pages, cpus.toInt)
+        k.count() // materialize outside the timed region
+        (k, crawlCfg)
+      }
 
     import spark.implicits._
     // wide seeding skips BFS warm-up so rounds run at steady-state width
@@ -62,7 +76,7 @@ object Bench {
     val robots = PageSynth.robots(spark, synthCfg).toDF()
     val t0 = System.nanoTime()
     val (fetched, nRounds, perRound) =
-      Crawler.fastDrain(spark, keyed, robots, seeds, crawlCfg, maxRounds)
+      Crawler.fastDrain(spark, keyed, robots, seeds, crawlCfg0, maxRounds)
     val drainSec = (System.nanoTime() - t0) / 1e9
     val urlsPerSec = fetched / drainSec
     val deduped = 0L

@@ -81,5 +81,8 @@ final case class CrawlConfig(
     keepPayload: Boolean = true,   // false: html/text dropped from round state
                                    // after link discovery (drain-only crawls)
     maxPageNo: Int = 50,           // W7 pagination-chain cap (navigation.py:451)
-    probeSeeds: Boolean = false)   // seed probe facility-listing urls per
+    probeSeeds: Boolean = false,   // seed probe facility-listing urls per
                                    // domain (healthcare_scraper.py:140-151)
+    pageBuckets: Int = 0)          // >0: page store is bucket-partitioned by
+                                   // pmod(urlHash, n) → runtime file skipping
+                                   // on the fetch join (PageStore)

@@ -61,19 +61,21 @@ object FacilityExtract {
         FieldExtract.address(text).as("rxAddress"),
         FieldExtract.beds(text).as("rxBeds"),
         FieldExtract.extractOrNull(text, FieldExtract.cityStateZipPattern, 0).as("rxCsz"),
+        FieldExtract.addressLines(text).as("rxLines"), // C9 line-split fallback
         FieldExtract.titleClean(col("probe.title")).as("titleName")))).as("L"))
 
     // stage 3: cascade coalescing over materialized generator attributes
     val name = coalesce(col("probe.mdName"), col("L.ld.name"), col("L.titleName"))
     val phoneRaw = coalesce(col("probe.mdTel"), col("L.ld.telephone"), col("L.rxPhone"))
-    val addr = coalesce(col("probe.mdStreet"), col("L.ld.address.streetAddress"), col("L.rxAddress"))
+    val addr = coalesce(col("probe.mdStreet"), col("L.ld.address.streetAddress"),
+      col("L.rxAddress"), col("L.rxLines.street"))
     val city = coalesce(col("probe.mdCity"), col("L.ld.address.addressLocality"),
-      FieldExtract.cityOf(col("L.rxCsz")))
+      FieldExtract.cityOf(col("L.rxCsz")), col("L.rxLines.city"))
     val state = FieldExtract.stateNormalize(
       coalesce(col("probe.mdState"), col("L.ld.address.addressRegion"),
-        FieldExtract.stateOf(col("L.rxCsz"))))
+        FieldExtract.stateOf(col("L.rxCsz")), col("L.rxLines.state")))
     val zip = coalesce(col("probe.mdZip"), col("L.ld.address.postalCode"),
-      FieldExtract.zipOf(col("L.rxCsz")))
+      FieldExtract.zipOf(col("L.rxCsz")), col("L.rxLines.zip"))
 
     withLayers
       .select(col("canonUrl").as("sourceUrl"),
@@ -81,7 +83,9 @@ object FacilityExtract {
         FieldExtract.phoneNormalize(phoneRaw).as("phone"),
         addr.as("address"), city.as("city"), state.as("state"), zip.as("zipCode"),
         col("L.rxEmail").as("email"), col("L.rxBeds").as("beds"),
-        FieldExtract.cleanArray(col("probe.liItems")).as("servicesOffered"),
+        // L2: blocks cap — at most 50 list items per page feed the
+        // services array (hybrid_extractor.py:399 blocks[:50])
+        FieldExtract.cleanArray(slice(col("probe.liItems"), 1, 50)).as("servicesOffered"),
         when(col("probe.mdName").isNotNull, "css_schema")
           .when(col("L.ld.name").isNotNull, "json_ld").otherwise("regex").as("method"))
       .filter(FieldExtract.validFacility(col("name"), col("address"),

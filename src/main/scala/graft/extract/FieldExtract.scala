@@ -92,6 +92,29 @@ object FieldExtract {
   def stateOf(csz: Column): Column = extractOrNull(csz, cityStateZipPattern, 2)
   def zipOf(csz: Column): Column = extractOrNull(csz, cityStateZipPattern, 3)
 
+  /** C9 line-split address fallback (extractors.py:249-283): the first
+    * zip-bearing line yields zip + city/state (comma split, else
+    * trailing "City ST" split); street = first line starting with
+    * digits. Returns struct(street, city, state, zip) — pure column
+    * expressions over the text lines. */
+  def addressLines(text: Column): Column = {
+    val lines = filter(transform(split(coalesce(text, lit("")), "\n"), l => trim(l)),
+      l => l =!= "")
+    val zipLine = try_element_at(filter(lines, l => l.rlike(zipPattern)), lit(1)) // ANSI: empty → null, not error
+    val zipC = extractOrNull(zipLine, zipPattern)
+    val noZip = trim(replace(zipLine, zipC, lit("")))
+    val parts = transform(split(noZip, ","), p => trim(p))
+    val cityState = filter(split(element_at(parts, 1), "\\s+"), s => s =!= "")
+    val city = when(size(parts) >= 2, element_at(parts, -2))
+      .when(size(parts) === 1 && size(cityState) >= 2,
+        concat_ws(" ", slice(cityState, lit(1), greatest(size(cityState) - 1, lit(1)))))
+    val state = when(size(parts) >= 2, stateNormalize(element_at(parts, -1)))
+      .when(size(parts) === 1 && size(cityState) >= 2,
+        stateNormalize(element_at(cityState, -1)))
+    val street = try_element_at(filter(lines, l => l.rlike("^\\d+")), lit(1))
+    struct(street.as("street"), city.as("city"), state.as("state"), zipC.as("zip"))
+  }
+
   /** Title cleanup (extractors.py:578-580): strip "| Site" / "- Site" tails. */
   def titleClean(title: Column): Column =
     trim(regexp_replace(title, "\\s*[|-].*$", ""))

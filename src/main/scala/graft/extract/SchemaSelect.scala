@@ -148,6 +148,20 @@ object SchemaSelect {
 }
 
 /**
+ * W3: extraction-target top-N selection
+ * (/root/reference/hybrid_extractor.py:173-199, caps
+ * crawl_config.py:33-34): targets ordered by (confidence desc,
+ * expected_count desc) with a deterministic url tie-break, capped at
+ * maxTargets.
+ */
+object Targets {
+  def topTargets(targets: DataFrame, maxTargets: Int,
+                 urlCol: String = "url"): DataFrame =
+    targets.orderBy(col("confidence").desc, col("expected_count").desc,
+      col(urlCol).asc).limit(maxTargets)
+}
+
+/**
  * T5: per-domain schema cache with TTL — a chosen schema is reused for
  * every page of the domain for `ttlHours` (168 h,
  * /root/reference/crawler_manager.py:135-153, crawl_config.py:79-83).

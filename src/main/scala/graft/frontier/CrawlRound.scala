@@ -24,8 +24,10 @@ object CrawlRound {
       deferred: DataFrame,     // frontier rows beyond this round's politeness budget
       discovered: DataFrame,   // new frontier candidates (already robots-filtered,
                                // NOT yet deduped against seen)
-      raw: DataFrame)          // the materialized fetch-join frame (carries html);
+      raw: DataFrame,          // the materialized fetch-join frame (carries html);
                                // unpersist after the round when payload not kept
+      hits: DataFrame)         // materialized store-probe hits (feeds raw and the
+                               // miss anti-join); unpersist after the round
 
   /**
    * Two-phase salted per-host politeness rank (SURVEY.md W2 / §4 skew kill):
@@ -164,15 +166,29 @@ object CrawlRound {
     // fetch = equi join on the 64-bit identity. The budgeted frontier is
     // broadcast (it is budget-bounded: ≤ B·hosts slim rows) so the page
     // store is only SCANNED and probed — never shuffled, never built into
-    // a hash map carrying page payloads (SURVEY.md J7; at storage scale
-    // the same shape lets the scan skip files via runtime filtering).
-    val hits = pages
-      .select(col("urlHash"), col("html"), col("text"), col("lang"), col("warc_ts"))
-      .join(broadcast(budgeted), Seq("urlHash"))
-      .withColumn("fetchOk", lit(true))
-    // fetch misses (dead-letter rows, T8): slim single-column anti-join
+    // a hash map carrying page payloads (SURVEY.md J7). With a bucketed
+    // store (cfg.pageBuckets > 0, PageStore), `bucket` joins as an extra
+    // equi-key on the partition column, so dynamic partition pruning
+    // skips every bucket the round's frontier cannot hit — the runtime
+    // file skipping an Iceberg bucket transform gives at storage scale.
+    val bucketed = cfg.pageBuckets > 0 && pages.columns.contains("bucket")
+    val hits0 =
+      if (bucketed)
+        pages.select(col("bucket"), col("urlHash"), col("html"), col("text"),
+            col("lang"), col("warc_ts"))
+          .join(broadcast(budgeted.withColumn("bucket",
+            pmod(col("urlHash"), lit(cfg.pageBuckets.toLong)))),
+            Seq("bucket", "urlHash"))
+          .drop("bucket")
+      else
+        pages.select(col("urlHash"), col("html"), col("text"), col("lang"),
+            col("warc_ts"))
+          .join(broadcast(budgeted), Seq("urlHash"))
+    val hits = ck(hits0.withColumn("fetchOk", lit(true)))
+    // fetch misses (dead-letter rows, T8): anti-join against the
+    // (budget-sized, materialized) HITS — never a second store scan
     val misses = budgeted
-      .join(pages.select("urlHash"), Seq("urlHash"), "left_anti")
+      .join(hits.select("urlHash"), Seq("urlHash"), "left_anti")
       .withColumn("html", lit(null).cast("binary"))
       .withColumn("text", lit(null).cast("string"))
       .withColumn("lang", lit(null).cast("string"))
@@ -190,6 +206,6 @@ object CrawlRound {
       lit(round).as("round"), col("host"), col("hostRank"),
       col("canonUrl"), col("urlHash"), col("score"), col("fetchOk"))
 
-    RoundResult(order, fetched, deferred, discovered, joined)
+    RoundResult(order, fetched, deferred, discovered, joined, hits)
   }
 }

@@ -137,6 +137,7 @@ object Crawler {
 
       orders += order
       fetchedAll += fetched
+      r.hits.unpersist() // joined (raw) is the cached parent downstream
       if (!cfg.keepPayload) r.raw.unpersist() // page payloads were transient
       seen.unpersist(); frontier.unpersist()
       seen = newSeen; seenCount = newSeenCount
@@ -153,11 +154,15 @@ object Crawler {
   /**
    * Throughput-oriented drain loop: same semantics as [[crawl]] for the
    * fetch set (politeness rank → fetch → discover → seen-dedup) but
-   * exactly TWO actions per round — (1) seen-set append, (2) next
-   * frontier — with the salted rank lazily checkpointed so it computes
-   * once. No order rows, no per-round miss metrics, no snapshot writes:
-   * this is the steady-state inner loop a 1000-executor drain would run,
-   * where driver-side planning must not serialize executor work.
+   * exactly ONE action per round — the next-frontier count — with every
+   * shared intermediate lazily checkpointed so it materializes inside
+   * that same job, and the per-round fetch count riding the action as an
+   * `observe` metric. The seen-bloom is sized from the running UPPER
+   * BOUND (seen + whole current frontier) since the exact fetched count
+   * is only known after the action — a slightly larger bloom, never a
+   * correctness change. No order rows, no snapshot writes: this is the
+   * steady-state inner loop a 1000-executor drain would run, where
+   * serial driver latency must not gate executor work.
    * Returns (urls fetched, rounds run, per-round fetch counts).
    */
   def fastDrain(spark: SparkSession, pagesKeyed: DataFrame, robots: DataFrame,
@@ -173,18 +178,23 @@ object Crawler {
     while (round <= maxRounds && frontierCount > 0) {
       val r = CrawlRound.run(round, frontier, pagesKeyed, robots,
         cfg.copy(keepPayload = false), ck)
-      // action 1: append budgeted hashes to seen (materializes the rank)
       val newSeen = ck(seen.unionByName(r.fetched.select("urlHash"))
         .repartition(parts, col("urlHash")))
+      // bloom sized on the upper bound; exact seen stays authoritative
+      val seenUpper = seenCount + frontierCount
+      val next = ck(CrawlRound.dedupeCandidates(r.deferred.unionByName(
+        SeenSet.filterUnseen(r.discovered, newSeen, seenUpper, cfg))))
+      // the round's one expensive action: materializes (via lazy
+      // checkpoints) rank → fetch → discovery → seen union → anti-join
+      frontierCount = next.count()
+      // trivial follow-up: count of the now-materialized seen RDD —
+      // a LogicalRDD scan, no re-analysis of the round's big plans
       val newSeenCount = newSeen.count()
       perRound += (newSeenCount - seenCount)
-      // action 2: next frontier (materializes fetch join + discovery + dedup)
-      val next = ck(CrawlRound.dedupeCandidates(r.deferred.unionByName(
-        SeenSet.filterUnseen(r.discovered, newSeen, newSeenCount, cfg))))
-      frontierCount = next.count()
-      r.raw.unpersist()
+      seenCount = newSeenCount
+      r.hits.unpersist(); r.raw.unpersist()
       seen.unpersist(); frontier.unpersist()
-      seen = newSeen; seenCount = newSeenCount; frontier = next
+      seen = newSeen; frontier = next
       round += 1
     }
     (seenCount, round - 1, perRound.toSeq)

@@ -51,9 +51,18 @@ object StreamingCrawl {
     * start — the per-batch path carries seen incrementally). */
   private[streaming] var seenLoads: Int = 0
 
-  private def seenSoFar(spark: SparkSession, root: String): (DataFrame, Long) = {
+  /** Seen hashes from committed rounds STRICTLY BEFORE `round`. Excluding
+    * the current round makes a replayed batch recompute BIT-IDENTICAL
+    * results even when its own seen/round=k snapshot already committed
+    * before the crash — otherwise the replay sees its own fetches,
+    * filters them out, re-runs a deferred-only round and OVERWRITES
+    * order/round=k with the smaller result, silently losing the original
+    * round's order rows. */
+  private def seenBefore(spark: SparkSession, root: String,
+                         round: Int): (DataFrame, Long) = {
     seenLoads += 1
     val rounds = committedRounds(root, "seen")
+      .filter(p => p.substring(p.lastIndexOf('=') + 1).toInt < round)
     if (rounds.isEmpty) {
       import spark.implicits._
       (Seq.empty[Long].toDF("urlHash"), 0L)
@@ -67,16 +76,16 @@ object StreamingCrawl {
    * Start the streaming crawl. One micro-batch = one politeness round over
    * every frontier delta that arrived since the last batch.
    *
-   * Crash/replay safety — writes are ordered so an interrupted batch
-   * (stop() or crash at ANY point) replays to the same final state:
-   *   1. frontier_stream append FIRST (duplicate appended files on replay
-   *      are idempotent: dedupeCandidates + filterUnseen collapse them),
-   *   2. order/round=k overwrite,
-   *   3. seen/round=k overwrite LAST — once seen is committed the replayed
-   *      batch's frontier filters to empty and the round no-ops, but its
-   *      discovered links are already durably in the stream.
-   * (The reverse order lost a round's links permanently: the replayed
-   * batch saw its own urlHashes in seen, skipped, and never re-appended.)
+   * Crash/replay safety: a replayed batch k recomputes BIT-IDENTICAL
+   * results — its input files are pinned by the streaming offset log and
+   * the seen set it filters against is [[seenBefore]] round k only (its
+   * own committed snapshot, if any, is excluded). Every side effect is
+   * therefore idempotent under at-least-once foreachBatch execution:
+   * order/seen snapshot overwrites rewrite identical content, and
+   * duplicate frontier_stream appends collapse in the next batch's
+   * dedupeCandidates + filterUnseen. Writes are still ordered
+   * (frontier append → order → seen) so no ordering of a partial batch
+   * can lose discovered links.
    *
    * Seen state is INCREMENTAL: loaded once per query start from committed
    * snapshots, then carried across micro-batches as a checkpointed
@@ -100,7 +109,7 @@ object StreamingCrawl {
         val s = batch.sparkSession
         val round = batchId.toInt + 1
         if (seenDf == null) {
-          val (d, c) = seenSoFar(s, root)
+          val (d, c) = seenBefore(s, root, round)
           seenDf = d.localCheckpoint(); seenCount = c
         }
         // frontier deltas may contain urls seen in earlier rounds

@@ -102,6 +102,35 @@ class OperatorSpec extends SparkTestBase {
     assert(seeds == Set("https://example.com", "https://x.org/a", "https://spaced.net"))
   }
 
+  test("address line-split fallback (C9) parses street/city/state/zip from text lines") {
+    import graft.extract.FieldExtract
+    val got = Seq(
+      "Sunrise Manor\n123 Oak Street\nSpringfield, KS 66012\nCall us today",
+      "1 Elm St\nLakewood CO 80226",
+      "Facility\n400 Pine Ave\nSuite 2, Riverton, Texas 75001",
+      "no structured address at all")
+      .toDF("text")
+      .select(FieldExtract.addressLines($"text").as("a"))
+      .select("a.street", "a.city", "a.state", "a.zip")
+      .as[(String, String, String, String)].collect().toSeq
+    assert(got == Seq(
+      ("123 Oak Street", "Springfield", "KS", "66012"),
+      ("1 Elm St", "Lakewood", "CO", "80226"),
+      ("400 Pine Ave", "Riverton", "TX", "75001"),
+      (null, null, null, null)))
+  }
+
+  test("target top-N (W3): confidence/expected-count ordering with deterministic tie-break") {
+    import graft.extract.Targets
+    val targets = Seq(
+      ("https://x.com/a", 0.9, 10), ("https://x.com/b", 0.9, 25),
+      ("https://x.com/c", 0.7, 99), ("https://x.com/d", 0.9, 25),
+      ("https://x.com/e", 0.5, 1))
+      .toDF("url", "confidence", "expected_count")
+    val top = Targets.topTargets(targets, 3).select("url").as[String].collect().toSeq
+    assert(top == Seq("https://x.com/b", "https://x.com/d", "https://x.com/a"))
+  }
+
   // ---------- sitemap / robots (S4/S5) ----------
 
   test("sitemap loc explode + classification, robots parse") {

@@ -150,6 +150,28 @@ class CrawlSpec extends SparkTestBase {
     assert(rec.filter($"anchor_text".isNull).count() == 0)
   }
 
+  test("bucketed page store: crawl ≡ in-memory store; fetch join prunes buckets at runtime") {
+    val dir = java.nio.file.Files.createTempDirectory("pstore").toString
+    PageStore.write(pages, dir, nBuckets = 8)
+    val store = PageStore.open(spark, dir)
+    val bucketCrawl = Crawler.crawl(spark, pages, robots, seeds,
+      crawlCfg.copy(pageBuckets = 8), 8, None, Some(store))
+    val a = fullCrawl.order.select($"round", $"host", $"hostRank", $"canonUrl")
+      .as[(Int, String, Int, String)].collect().sortBy(t => (t._1, t._2, t._3)).toSeq
+    val b = bucketCrawl.order.select($"round", $"host", $"hostRank", $"canonUrl")
+      .as[(Int, String, Int, String)].collect().sortBy(t => (t._1, t._2, t._3)).toSeq
+    assert(a == b)
+
+    // the store scan carries a runtime bucket-pruning filter (dynamic
+    // partition pruning from the broadcast frontier), or at minimum a
+    // partition filter on the bucket column
+    val r = CrawlRound.run(1, CrawlRound.seedFrontier(seeds), store, robots,
+      crawlCfg.copy(pageBuckets = 8))
+    val plan = r.raw.queryExecution.executedPlan.toString.toLowerCase
+    assert(plan.contains("dynamicpruning"),
+      s"expected dynamic partition pruning on the bucketed scan:\n$plan")
+  }
+
   test("pagination cap (W7): no url past page 50 is ever crawled or queued") {
     assert(fullCrawl.order
       .filter(regexp_extract(lower($"canonUrl"), "page[-=/](\\d{1,9})", 1) =!= "")

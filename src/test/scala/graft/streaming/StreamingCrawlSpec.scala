@@ -58,6 +58,52 @@ class StreamingCrawlSpec extends SparkTestBase {
     streamOrder.unpersist()
   }
 
+  test("streaming stateful dedup (T4): per-key state ≡ batch exact dedup across micro-batches") {
+    import graft.extract.Dedup
+    val root = java.nio.file.Files.createTempDirectory("graft-sdedup").toString
+    new java.io.File(s"$root/in").mkdirs()
+    def facs(rows: (String, String, String, String, String, String, String)*) =
+      rows.toDF("sourceUrl", "name", "address", "city", "state", "zipCode", "phone")
+    // batch 1: in-batch phone+addr dup pair (different names) + unique
+    val b1 = facs(
+      ("u01", "Alpha Home", "1 Oak St", "Springfield", "KS", "11111", "(555) 111-2222"),
+      ("u02", "Alpha Home LLC", "1 Oak St", "Springfield", "KS", "11111", "(555) 111-2222"),
+      ("u03", "Beta House", "2 Elm St", "Riverton", "TX", "22222", "(555) 333-4444"))
+    // batch 2: cross-batch dup of u01 + fresh row + full-sig dup of u03
+    val b2 = facs(
+      ("u04", "Alpha Home", "1 Oak St", "Springfield", "KS", "11111", "(555) 111-2222"),
+      ("u05", "Gamma Lodge", "3 Pine St", "Lakewood", "CA", "33333", "(555) 555-6666"),
+      ("u06", "Beta House", "2 Elm St", "Riverton", "TX", "22222", "(555) 333-4444"))
+    Seq(b1, b2).zipWithIndex.foreach { case (df, i) =>
+      val tmp = java.nio.file.Files.createTempDirectory(s"sd$i").toString
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles().find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.copy(part.toPath,
+        java.nio.file.Paths.get(s"$root/in/batch$i.parquet"))
+    }
+
+    val stream = spark.readStream.schema(b1.schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$root/in")
+    val q = StreamingDedup.dedupStream(stream).writeStream
+      .format("memory").queryName("sdedup").outputMode("append")
+      .option("checkpointLocation", s"$root/ck")
+      .start()
+    q.processAllAvailable()
+    q.stop()
+
+    val streamed = spark.table("sdedup")
+      .select("sourceUrl").as[String].collect().toSet
+    val batchSurvivors = Dedup.exact(b1.unionByName(b2))
+      .select("sourceUrl").as[String].collect().toSet
+    assert(batchSurvivors == Set("u01", "u03", "u05"))
+    assert(streamed == batchSurvivors)
+
+    // batch-mode equivalence of the same operator
+    val batchMode = StreamingDedup.dedupStream(b1.unionByName(b2))
+      .select("sourceUrl").as[String].collect().toSet
+    assert(batchMode == batchSurvivors)
+  }
+
   test("streaming crawl resumes from checkpoint without reprocessing rounds") {
     val root = java.nio.file.Files.createTempDirectory("graft-stream-resume").toString
     StreamingCrawl.writeSeeds(spark, root, seeds)
