@@ -233,12 +233,15 @@ object SparkEntry {
       // k=5 word shingles: the synthetic ~30-word vocab makes 3-shingles
       // genuinely shared across unrelated docs; 5-shingles restore the
       // near-disjointness real webtext has.
-      // bands=16 (2 rows/band): P(candidate miss | jaccard 0.875, the
-      // corpus minimum over threshold) < 1e-10 — the LSH recall gap is
-      // below the oracle's resolution, so the all-pairs DuckDB oracle
-      // is an exact equality check.
+      // 64 perms / 16 bands / 4 rows-per-band: P(candidate miss |
+      // jaccard 0.875, the corpus minimum over threshold) ≈ 7e-7 — the
+      // LSH recall gap is below the oracle's resolution, so the
+      // all-pairs DuckDB oracle is an exact equality check — while the
+      // 4-row bands keep the background candidate rate ~12% (2-row
+      // bands admitted ~78% of unrelated pairs on this corpus and the
+      // exact-verify join dominated the query).
       NearDup.nearDupPairs(withCopies, "doc_id", "text", threshold = 0.8,
-          numPerms = 32, bands = 16, k = 5)
+          numPerms = 64, bands = 16, k = 5)
         .withColumn("jaccard", round(col("jaccard"), 4))
         .orderBy("idA", "idB")
     }),

@@ -98,18 +98,24 @@ object NearDup {
 
   /**
    * MinHash-LSH near-dup pairs verified by exact n-gram Jaccard ≥ threshold.
-   * The verify join rehydrates text only for candidate ids (semi-join
-   * pattern — at scale the candidate set is ≪ corpus).
+   * The verify join rehydrates PRECOMPUTED shingle sets for candidate ids
+   * only (semi-join pattern — at scale the candidate set is ≪ corpus).
+   * Shingling runs once per doc; computing jaccard(textA, textB) per pair
+   * re-shingled every doc once per candidate pair it appeared in — the
+   * dominant cost when bands admit many candidates.
    */
   def nearDupPairs(docs: DataFrame, idCol: String, textCol: String,
                    threshold: Double = 0.8, numPerms: Int = 32, bands: Int = 8,
                    k: Int = 3): DataFrame = {
     val cands = lshCandidates(docs, idCol, textCol, numPerms, bands, k)
-    val txt = docs.select(col(idCol), col(textCol))
+    val sh = docs.select(col(idCol), shingleHashes(col(textCol), k).as("__sh"))
+    val inter = size(array_intersect(col("shA"), col("shB")))
+    val uni = size(array_union(col("shA"), col("shB")))
     cands
-      .join(txt.select(col(idCol).as("idA"), col(textCol).as("textA")), Seq("idA"))
-      .join(txt.select(col(idCol).as("idB"), col(textCol).as("textB")), Seq("idB"))
-      .withColumn("jaccard", jaccard(col("textA"), col("textB"), k))
+      .join(sh.select(col(idCol).as("idA"), col("__sh").as("shA")), Seq("idA"))
+      .join(sh.select(col(idCol).as("idB"), col("__sh").as("shB")), Seq("idB"))
+      .withColumn("jaccard",
+        when(uni === 0, 0.0).otherwise(inter.cast("double") / uni))
       .filter(col("jaccard") >= threshold)
       .select(col("idA"), col("idB"), col("jaccard"))
   }

@@ -16,6 +16,8 @@ import graft.functions.gf
  */
 object Dedup {
 
+  private[extract] val observeId = new java.util.concurrent.atomic.AtomicLong(0L)
+
   /** Add the reference's signature columns (deduplicator.py:15-52). */
   def withSignatures(facilities: DataFrame): DataFrame =
     facilities
@@ -88,10 +90,11 @@ object Dedup {
       .unionByName(keyedAs(pKey, base.filter(col("digits") =!= "")))
 
     // deterministic per-block cap; truncation surfaced as a metric
+    // (unique observe name per call — duplicates in one query throw)
     val w = Window.partitionBy("block").orderBy(col("sourceUrl").asc)
     val keyed = keyed0
       .withColumn("__rn", row_number().over(w))
-      .observe("fuzzy_dedup_blocks",
+      .observe(s"fuzzy_dedup_blocks_${Dedup.observeId.incrementAndGet()}",
         sum(when(col("__rn") > maxBlockSize, 1L).otherwise(0L)).as("truncated_rows"))
       .filter(col("__rn") <= maxBlockSize).drop("__rn")
 
