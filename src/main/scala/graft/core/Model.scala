@@ -83,6 +83,12 @@ final case class CrawlConfig(
     maxPageNo: Int = 50,           // W7 pagination-chain cap (navigation.py:451)
     probeSeeds: Boolean = false,   // seed probe facility-listing urls per
                                    // domain (healthcare_scraper.py:140-151)
+    roundSeconds: Double = 0.0,    // >0: a round models one live politeness
+                                   // window of this many seconds, so robots
+                                   // crawl-delay d caps a host at
+                                   // ceil(roundSeconds/d) fetches per round
+                                   // (T3, crawl_config.py:15). 0 = drain
+                                   // mode (offline store, no pacing).
     pageBuckets: Int = 0)          // >0: page store is bucket-partitioned by
                                    // pmod(urlHash, n) → runtime file skipping
                                    // on the fetch join (PageStore)

@@ -150,14 +150,30 @@ object CrawlRound {
           cfg: CrawlConfig, ck: DataFrame => DataFrame = identity,
           hostFetched: Option[DataFrame] = None): RoundResult = {
     // L3: cumulative per-site cap — effective budget = min(B, maxPages - done)
+    // T3/J5: robots crawl-delay respected as a per-round rate cap — when
+    // cfg.roundSeconds > 0 a round models one live politeness window, so a
+    // host with crawl-delay d gets at most ceil(roundSeconds/d) fetches per
+    // round (the reference's 30 rpm ↔ delay math, crawl_config.py:15 +
+    // config.py:66). Drain mode (roundSeconds = 0, offline page store)
+    // skips pacing entirely.
     val ranked0 = politenessRank(frontier, cfg)
+    val delayCapped =
+      if (cfg.roundSeconds > 0 && robots.columns.contains("crawlDelay"))
+        ranked0.join(broadcast(robots.select(col("host"),
+          when(col("crawlDelay") > 0,
+            ceil(lit(cfg.roundSeconds) / col("crawlDelay")).cast("int")).as("__delayCap"))),
+          Seq("host"), "left")
+      else ranked0.withColumn("__delayCap", lit(null).cast("int"))
+    val rateCap = least(lit(cfg.perHostBudget),
+      coalesce(col("__delayCap"), lit(Int.MaxValue)))
     val ranked = ck(hostFetched match {
-      case Some(hc) => ranked0.join(hc, Seq("host"), "left")
+      case Some(hc) => delayCapped.join(hc, Seq("host"), "left")
         .withColumn("__budget", greatest(lit(0),
-          least(lit(cfg.perHostBudget),
+          least(rateCap,
             lit(cfg.maxPagesPerSite) - coalesce(col("hostDone"), lit(0L)))))
-        .drop("hostDone")
-      case None => ranked0.withColumn("__budget", lit(cfg.perHostBudget))
+        .drop("hostDone", "__delayCap")
+      case None => delayCapped.withColumn("__budget", rateCap)
+        .drop("__delayCap")
     })
     val budgeted = ranked.filter(col("hostRank") <= col("__budget")).drop("__budget")
     val deferred = ranked.filter(col("hostRank") > col("__budget"))

@@ -172,6 +172,21 @@ class CrawlSpec extends SparkTestBase {
       s"expected dynamic partition pruning on the bucketed scan:\n$plan")
   }
 
+  test("robots crawl-delay caps a host's per-round fetches (T3 pacing)") {
+    import graft.synth.PageSynth
+    // host 1 slows to crawl-delay 10 s → ≤ ceil(60/10) = 6 fetches/round
+    val slowRobots = PageSynth.robots(spark, synthCfg).toDF()
+      .withColumn("crawlDelay",
+        when($"host" === Synth.hostName(1), 10.0).otherwise($"crawlDelay"))
+    val r = Crawler.crawl(spark, pages, slowRobots, seeds,
+      crawlCfg.copy(roundSeconds = 60.0), 6, None, Some(keyed))
+    val perRound = r.order.groupBy("round", "host").count()
+    assert(perRound.filter($"host" === Synth.hostName(1) && $"count" > 6).count() == 0)
+    // not vacuous: the slow host is crawled, and fast hosts exceed 6
+    assert(r.order.filter($"host" === Synth.hostName(1)).count() > 0)
+    assert(perRound.filter($"host" =!= Synth.hostName(1) && $"count" > 6).count() > 0)
+  }
+
   test("pagination cap (W7): no url past page 50 is ever crawled or queued") {
     assert(fullCrawl.order
       .filter(regexp_extract(lower($"canonUrl"), "page[-=/](\\d{1,9})", 1) =!= "")
