@@ -70,6 +70,71 @@ case class BloomFilterAgg(
 }
 
 /**
+ * `bloom_merge_agg(bloomBytes)` — OR-merge of serialized Bloom filters
+ * built with IDENTICAL (expectedItems, fpp): the bitwise union of
+ * same-shaped filters is exactly the filter of the union of their input
+ * sets, so merging a per-round delta bloom into carried bloom state is
+ * byte-identical to rebuilding from the full seen set — without the
+ * full-state scan. This is what makes the seen pre-filter incremental at
+ * 10^10 URLs (north rule "bloom/cuckoo URL-seen filter ... per-partition
+ * state"): each round aggregates only the O(budget) delta, and the driver
+ * rebuilds at doubled capacity only when the exact seen count approaches
+ * capacity (geometric, amortized ≤ 2× one build).
+ */
+case class BloomMergeAgg(
+    child: Expression,  // BINARY serialized BloomFilters, same shape
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[BloomFilter]
+  with org.apache.spark.sql.catalyst.trees.UnaryLike[Expression] {
+
+  override def prettyName: String = "bloom_merge_agg"
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = true
+
+  // no identity element exists without knowing the shape — the buffer is
+  // null until the first filter arrives (every group has ≥1 input row)
+  override def createAggregationBuffer(): BloomFilter = null
+
+  override def update(buf: BloomFilter, input: InternalRow): BloomFilter = {
+    val v = child.eval(input)
+    if (v == null) buf
+    else {
+      val f = BloomFilter.readFrom(
+        new ByteArrayInputStream(v.asInstanceOf[Array[Byte]]))
+      if (buf == null) f else { buf.mergeInPlace(f); buf }
+    }
+  }
+
+  override def merge(buf: BloomFilter, other: BloomFilter): BloomFilter =
+    if (buf == null) other
+    else if (other == null) buf
+    else { buf.mergeInPlace(other); buf }
+
+  override def eval(buf: BloomFilter): Any =
+    if (buf == null) null else serialize(buf)
+
+  override def serialize(buf: BloomFilter): Array[Byte] =
+    if (buf == null) Array.emptyByteArray
+    else {
+      val out = new ByteArrayOutputStream()
+      buf.writeTo(out)
+      out.toByteArray
+    }
+
+  override def deserialize(bytes: Array[Byte]): BloomFilter =
+    if (bytes.isEmpty) null
+    else BloomFilter.readFrom(new ByteArrayInputStream(bytes))
+
+  override def withNewMutableAggBufferOffset(o: Int): BloomMergeAgg =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): BloomMergeAgg =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildInternal(c: Expression): BloomMergeAgg =
+    copy(child = c)
+}
+
+/**
  * `might_contain(bloomBytes, longValue)` — true if the serialized Bloom
  * filter may contain the value. Deserialization is cached per byte-array
  * identity (the broadcast/bucket join hands every row in a partition the

@@ -70,6 +70,9 @@ object Crawler {
     }
     var seenCount: Long = if (resumeRound.isDefined) seen.count() else 0L
     var frontierCount: Long = frontier.count()
+    // incremental seen-bloom state (J1): per-round delta merge, geometric
+    // rebuilds — None rebuilds from `seen` on first advance (incl. resume)
+    var bloomState: Option[SeenSet.BloomState] = None
 
     val orders = scala.collection.mutable.ArrayBuffer[DataFrame]()
     val fetchedAll = scala.collection.mutable.ArrayBuffer[DataFrame]()
@@ -115,7 +118,10 @@ object Crawler {
       val discovered = r.discovered
       val discoveredCount = discovered.count()
       tp = phase(round, "discover", tp)
-      val fresh = SeenSet.filterUnseen(discovered, newSeen, newSeenCount, cfg)
+      val bs0 = SeenSet.advance(bloomState, delta, newSeen, newSeenCount, cfg)
+      val bs = bs0.copy(blooms = ck(bs0.blooms))
+      val fresh = SeenSet.filterUnseen(discovered, newSeen, newSeenCount, cfg,
+        Some(bs.blooms))
       val nextFrontier = ck(CrawlRound.dedupeCandidates(
         r.deferred.unionByName(fresh)))
       val nextCount = nextFrontier.count()
@@ -140,6 +146,8 @@ object Crawler {
       r.hits.unpersist() // joined (raw) is the cached parent downstream
       if (!cfg.keepPayload) r.raw.unpersist() // page payloads were transient
       seen.unpersist(); frontier.unpersist()
+      bloomState.foreach(_.blooms.unpersist())
+      bloomState = Some(bs)
       seen = newSeen; seenCount = newSeenCount
       frontier = nextFrontier; frontierCount = nextCount
       round += 1
@@ -172,6 +180,7 @@ object Crawler {
     var frontier = ck(CrawlRound.seedFrontier(seeds))
     var seen: DataFrame = frontier.select("urlHash").limit(0)
     var seenCount = 0L
+    var bloomState: Option[SeenSet.BloomState] = None
     var frontierCount = frontier.count()
     val perRound = scala.collection.mutable.ArrayBuffer[Long]()
     var round = 1
@@ -180,10 +189,15 @@ object Crawler {
         cfg.copy(keepPayload = false), ck)
       val newSeen = ck(seen.unionByName(r.fetched.select("urlHash"))
         .repartition(parts, col("urlHash")))
-      // bloom sized on the upper bound; exact seen stays authoritative
+      // bloom capacity decisions use the upper bound (exact fetched count
+      // is only known after the action); exact seen stays authoritative
       val seenUpper = seenCount + frontierCount
+      val bs0 = SeenSet.advance(bloomState, r.fetched.select("urlHash"),
+        newSeen, seenUpper, cfg)
+      val bs = bs0.copy(blooms = ck(bs0.blooms))
       val next = ck(CrawlRound.dedupeCandidates(r.deferred.unionByName(
-        SeenSet.filterUnseen(r.discovered, newSeen, seenUpper, cfg))))
+        SeenSet.filterUnseen(r.discovered, newSeen, seenUpper, cfg,
+          Some(bs.blooms)))))
       // the round's one expensive action: materializes (via lazy
       // checkpoints) rank → fetch → discovery → seen union → anti-join
       frontierCount = next.count()
@@ -194,6 +208,8 @@ object Crawler {
       seenCount = newSeenCount
       r.hits.unpersist(); r.raw.unpersist()
       seen.unpersist(); frontier.unpersist()
+      bloomState.foreach(_.blooms.unpersist())
+      bloomState = Some(bs.copy(count = newSeenCount)) // exact, ≤ upper
       seen = newSeen; frontier = next
       round += 1
     }

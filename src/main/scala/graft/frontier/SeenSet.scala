@@ -27,14 +27,56 @@ object SeenSet {
       .agg(gf.bloom_agg(col("urlHash"), expectedPerBucket, cfg.bloomFpp).as("bloom"))
 
   /**
+   * Incremental bloom state (north rule "per-partition state"): carried
+   * `(bloomBucket, bloom)` rows plus a fixed per-bucket capacity. Filters
+   * of identical shape OR-merge exactly (bit union = filter of set
+   * union), so folding each round's O(budget) delta into the state is
+   * byte-identical to rebuilding from the full seen set — the full-state
+   * scan happens only on the driver's geometric capacity rebuilds.
+   */
+  final case class BloomState(blooms: DataFrame, capacityPerBucket: Long,
+                              count: Long) {
+    /** true when `count` new items would push any (uniform-hash) bucket
+      * past ~80 % of capacity — time to rebuild at doubled capacity. */
+    def needsRebuild(newCount: Long, cfg: CrawlConfig): Boolean =
+      newCount > capacityPerBucket * cfg.bloomBuckets * 4 / 5
+  }
+
+  /** Per-bucket capacity for a seen set expected to reach `total` items. */
+  def capacityFor(total: Long, cfg: CrawlConfig): Long =
+    math.max(total / cfg.bloomBuckets + 1, 1024L)
+
+  /**
+   * Advance the bloom state by one round: merge the delta's blooms into
+   * the carried state, or rebuild from the full seen set at (at least)
+   * doubled capacity when the exact count approaches capacity.
+   */
+  def advance(state: Option[BloomState], deltaHashes: DataFrame,
+              seenHashes: DataFrame, newCount: Long,
+              cfg: CrawlConfig): BloomState = state match {
+    case Some(s) if !s.needsRebuild(newCount, cfg) =>
+      val deltaBlooms = buildBlooms(deltaHashes, s.capacityPerBucket, cfg)
+      BloomState(
+        s.blooms.unionByName(deltaBlooms).groupBy("bloomBucket")
+          .agg(gf.bloom_merge_agg(col("bloom")).as("bloom")),
+        s.capacityPerBucket, newCount)
+    case _ =>
+      var cap = math.max(capacityFor(newCount, cfg),
+        state.map(_.capacityPerBucket).getOrElse(0L))
+      while (newCount > cap * cfg.bloomBuckets * 2 / 5) cap *= 2 // headroom
+      BloomState(buildBlooms(seenHashes, cap, cfg), cap, newCount)
+  }
+
+  /**
    * candidates − seen. `candidates` must be unique by urlHash; result
-   * preserves candidate columns.
+   * preserves candidate columns. `prebuilt` carries incremental bloom
+   * state; without it the blooms are built from the full seen set.
    */
   def filterUnseen(candidates: DataFrame, seenHashes: DataFrame, seenCount: Long,
-                   cfg: CrawlConfig): DataFrame = {
+                   cfg: CrawlConfig, prebuilt: Option[DataFrame] = None): DataFrame = {
     if (seenCount == 0) return candidates
-    val expected = math.max(seenCount / cfg.bloomBuckets + 1, 1024L)
-    val blooms = buildBlooms(seenHashes, expected, cfg)
+    val blooms = prebuilt.getOrElse(
+      buildBlooms(seenHashes, capacityFor(seenCount, cfg), cfg))
     val tested = candidates
       .withColumn("bloomBucket", pmod(col("urlHash"), lit(cfg.bloomBuckets)))
       .join(broadcast(blooms), Seq("bloomBucket"), "left")

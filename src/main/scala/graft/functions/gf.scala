@@ -41,6 +41,11 @@ object gf {
     column(BloomFilterAgg(expression(values), expression(lit(expectedItems)), fpp)
       .toAggregateExpression())
 
+  /** OR-merge serialized BloomFilters of identical shape (incremental
+    * seen-bloom state — see [[graft.expr.BloomMergeAgg]]). */
+  def bloom_merge_agg(blooms: Column): Column =
+    column(BloomMergeAgg(expression(blooms)).toAggregateExpression())
+
   /** Test a LONG against a serialized BloomFilter column. */
   def might_contain(bloom: Column, value: Column): Column =
     column(MightContainLong(expression(bloom), expression(value)))

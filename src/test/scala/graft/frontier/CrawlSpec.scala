@@ -187,6 +187,37 @@ class CrawlSpec extends SparkTestBase {
     assert(perRound.filter($"host" =!= Synth.hostName(1) && $"count" > 6).count() > 0)
   }
 
+  test("incremental seen-bloom: delta merges ≡ full rebuild byte-for-byte; capacity rebuild is geometric") {
+    val cfg = CrawlConfig(bloomBuckets = 8)
+    val all = spark.range(0, 3000)
+      .select(xxhash64(col("id")).as("urlHash"), col("id"))
+    def slice(lo: Long, hi: Long) =
+      all.filter($"id" >= lo && $"id" < hi).select("urlHash")
+    // three rounds of deltas folded into carried state
+    var st = SeenSet.advance(None, slice(0, 1000), slice(0, 1000), 1000, cfg)
+    st = SeenSet.advance(Some(st), slice(1000, 2000), slice(0, 2000), 2000, cfg)
+    st = SeenSet.advance(Some(st), slice(2000, 3000), slice(0, 3000), 3000, cfg)
+    // merge branch taken (capacity never grew) …
+    assert(st.capacityPerBucket == SeenSet.capacityFor(1000, cfg))
+    // … and the merged filters are byte-identical to a batch build of the
+    // same capacity (bit union of same-shaped blooms = bloom of the union)
+    def bytes(df: DataFrame): Map[Long, Seq[Byte]] =
+      df.as[(Long, Array[Byte])].collect().toMap.view.mapValues(_.toSeq).toMap
+    val batch = SeenSet.buildBlooms(slice(0, 3000), st.capacityPerBucket, cfg)
+    assert(bytes(st.blooms) == bytes(batch))
+
+    // pushing past ~80 % of capacity forces a geometric rebuild …
+    val big = spark.range(0, 9000).select(xxhash64(col("id")).as("urlHash"))
+    val st2 = SeenSet.advance(Some(st), big, big, 9000, cfg)
+    assert(st2.capacityPerBucket >= st.capacityPerBucket * 2)
+    // … with zero false negatives after the rebuild
+    val misses = big
+      .withColumn("bloomBucket", pmod($"urlHash", lit(cfg.bloomBuckets)))
+      .join(broadcast(st2.blooms), Seq("bloomBucket"))
+      .filter(!gf.might_contain($"bloom", $"urlHash"))
+    assert(misses.count() == 0)
+  }
+
   test("pagination cap (W7): no url past page 50 is ever crawled or queued") {
     assert(fullCrawl.order
       .filter(regexp_extract(lower($"canonUrl"), "page[-=/](\\d{1,9})", 1) =!= "")
