@@ -86,9 +86,12 @@ object Bench {
 
     // ---- per-query wall times ----
     val skip = sys.env.get("GRAFT_SKIP_QUERIES").isDefined
+    // GRAFT_ONLY_QUERIES=q40_ann_ivf,q25_minhash_neardup — time a subset
+    val only = sys.env.get("GRAFT_ONLY_QUERIES").map(_.split(",").toSet)
     val results: Map[String, Double] =
       if (skip) Map.empty
-      else SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      else SparkEntry.queries.toSeq.sortBy(_._1)
+        .filter(t => only.forall(_.contains(t._1))).map { case (name, fn) =>
         val q0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
         name -> (System.nanoTime() - q0) / 1e9

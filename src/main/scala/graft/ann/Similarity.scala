@@ -131,16 +131,27 @@ object Similarity {
     cents
   }
 
-  /** Nearest-centroid assignment against a driver-held centroid list. */
+  /** Nearest-centroid assignment against a driver-held centroid list.
+    * Ranking: `argmax_c cos(v, c) = argmax_c dot(v, ĉ)` — the row's own
+    * norm is a constant positive factor across centroids, so centroids
+    * are unit-normalized ONCE driver-side and each candidate costs a
+    * single fused array pass (multiply-cast-accumulate), not the 4
+    * passes (transform + dot + 2 norms) a full cosine evaluates.
+    * Centroids enter the plan as TWO literal array nodes (`typedlit`),
+    * not k×dim scalar literals. */
   private def assignTo(vectors: DataFrame, vecCol: String,
                        cents: Seq[(Long, Seq[Double])]): DataFrame = {
-    val centArr = array(cents.map { case (cid, cv) =>
-      struct(lit(cid).as("cid"), array(cv.map(lit): _*).as("cvec"))
-    }: _*)
+    val unit = cents.map { case (_, cv) =>
+      val n = math.sqrt(cv.map(x => x * x).sum)
+      if (n == 0.0) cv else cv.map(_ / n)
+    }
+    val cvecs = typedlit(unit)             // array<array<double>>
+    val cids = typedlit(cents.map(_._1))   // array<bigint>
     vectors.withColumn("centroid",
-      array_max(transform(centArr, c => struct(
-        cosine(transform(col(vecCol), x => x.cast("double")), c.getField("cvec")).as("cos"),
-        c.getField("cid").as("cid")))).getField("cid"))
+      array_max(zip_with(cvecs, cids, (cv, cid) => struct(
+        aggregate(zip_with(col(vecCol), cv, (x, c) => x.cast("double") * c),
+          lit(0.0d), (s, v) => s + v).as("cos"),
+        cid.as("cid")))).getField("cid"))
   }
 
   /** IVF index: assign every vector to its nearest centroid (bucketed

@@ -98,9 +98,12 @@ object StreamingCrawl {
       .schema(frontierSchema)
       .parquet(s"$root/frontier_stream")
 
-    // per-query incremental seen state (foreachBatch runs sequentially)
+    // per-query incremental seen state (foreachBatch runs sequentially),
+    // bloom pre-filter state included — per-batch delta merges, never a
+    // full-seen re-aggregation per round (mirrors Crawler's BloomState)
     var seenDf: DataFrame = null
     var seenCount: Long = 0L
+    var bloomState: Option[SeenSet.BloomState] = None
 
     stream.writeStream
       .option("checkpointLocation", s"$root/checkpoint")
@@ -111,10 +114,15 @@ object StreamingCrawl {
         if (seenDf == null) {
           val (d, c) = seenBefore(s, root, round)
           seenDf = d.localCheckpoint(); seenCount = c
+          if (c > 0) {
+            val bs = SeenSet.advance(None, d, seenDf, c, cfg)
+            bloomState = Some(bs.copy(blooms = bs.blooms.localCheckpoint()))
+          }
         }
         // frontier deltas may contain urls seen in earlier rounds
         val frontier = SeenSet.filterUnseen(
-          CrawlRound.dedupeCandidates(batch), seenDf, seenCount, cfg)
+          CrawlRound.dedupeCandidates(batch), seenDf, seenCount, cfg,
+          bloomState.map(_.blooms))
           .localCheckpoint(true)
         if (!frontier.isEmpty) {
           val r = CrawlRound.run(round, frontier, pagesKeyed, robots, cfg,
@@ -134,6 +142,8 @@ object StreamingCrawl {
           // and pre-filtered against seen, so the delta is disjoint)
           seenDf = seenDf.unionByName(delta).localCheckpoint()
           seenCount += delta.count()
+          val bs = SeenSet.advance(bloomState, delta, seenDf, seenCount, cfg)
+          bloomState = Some(bs.copy(blooms = bs.blooms.localCheckpoint()))
         }
         ()
       }
