@@ -312,4 +312,15 @@ class OperatorSpec extends SparkTestBase {
     Sinks.writeJson(df, s"$dir/json")
     assert(spark.read.json(s"$dir/json").count() == 2)
   }
+
+  test("workbook sink (K3): one dataset directory per sheet, contents round-trip") {
+    val dir = tmpDir("sheets")
+    val facilities = Seq(("A", "AL"), ("B", "GA")).toDF("name", "state")
+    val summary = Seq(("total", 2L)).toDF("metric", "value")
+    Sinks.writeSheets(Map("facilities" -> facilities, "summary" -> summary), dir)
+    assert(spark.read.parquet(s"$dir/facilities").as[(String, String)]
+      .collect().toSet == Set(("A", "AL"), ("B", "GA")))
+    assert(spark.read.parquet(s"$dir/summary").as[(String, Long)]
+      .collect().toSeq == Seq(("total", 2L)))
+  }
 }
