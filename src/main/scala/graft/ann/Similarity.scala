@@ -12,6 +12,9 @@ import graft.synth.Synth
  */
 object Similarity {
 
+  /** unique observe names per call — duplicates in one query throw */
+  private val observeId = new java.util.concurrent.atomic.AtomicLong(0L)
+
   def dot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (s, v) => s + v)
 
@@ -183,13 +186,25 @@ object Similarity {
       .limit(k)
   }
 
-  /** Embedding-cosine near-dup pairs via LSH buckets (no cross-join). */
+  /** Embedding-cosine near-dup pairs via LSH buckets (no cross-join).
+    * Skew guard: a degenerate bucket (an all-similar corpus slice hashing
+    * to one bucket) would go quadratic within the bucket — buckets are
+    * deterministically truncated to `maxBucketSize` rows (min id kept)
+    * and the dropped-row count is published as the
+    * `embedding_neardup_buckets.truncated_rows` observed metric (same
+    * pattern as the fuzzy-dedup block cap). */
   def embeddingNearDups(vectors: DataFrame, idCol: String, vecCol: String,
                         threshold: Double = 0.95, planes: Int = 10,
-                        dim: Int = 64): DataFrame = {
+                        dim: Int = 64, maxBucketSize: Int = 10000): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("bucket").orderBy(col("id").asc)
     val bucketed = vectors
       .select(col(idCol).as("id"), col(vecCol).as("v"))
       .withColumn("bucket", lshBucket(col("v"), planes, dim))
+      .withColumn("__rn", row_number().over(w))
+      .observe(s"embedding_neardup_buckets_${observeId.incrementAndGet()}",
+        sum(when(col("__rn") > maxBucketSize, 1L).otherwise(0L)).as("truncated_rows"))
+      .filter(col("__rn") <= maxBucketSize).drop("__rn")
     val a = bucketed.select(col("id").as("idA"), col("v").as("vA"), col("bucket"))
     val b = bucketed.select(col("id").as("idB"), col("v").as("vB"), col("bucket"))
     a.join(b, Seq("bucket"))

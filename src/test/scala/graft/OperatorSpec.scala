@@ -313,6 +313,21 @@ class OperatorSpec extends SparkTestBase {
     assert(spark.read.json(s"$dir/json").count() == 2)
   }
 
+  test("embedding near-dup bucket cap truncates a degenerate bucket deterministically") {
+    // 50 identical vectors hash to ONE LSH bucket — the all-similar slice
+    // that would go quadratic; cap 10 keeps the 10 smallest ids
+    val v = Seq.fill(64)(1.0f)
+    val vecs = (0L until 50L).map(i => (i, v)).toDF("vec_id", "embedding")
+    val capped = Similarity.embeddingNearDups(vecs, "vec_id", "embedding",
+      threshold = 0.99, maxBucketSize = 10)
+      .select("idA", "idB").as[(Long, Long)].collect().toSet
+    assert(capped.size == 45) // C(10,2) — survivors only
+    assert(capped.forall { case (a, b) => a < 10 && b < 10 })
+    // default cap is far above the bucket: all C(50,2) pairs emitted
+    assert(Similarity.embeddingNearDups(vecs, "vec_id", "embedding",
+      threshold = 0.99).count() == 50L * 49 / 2)
+  }
+
   test("workbook sink (K3): one dataset directory per sheet, contents round-trip") {
     val dir = tmpDir("sheets")
     val facilities = Seq(("A", "AL"), ("B", "GA")).toDF("name", "state")
