@@ -86,6 +86,11 @@ object Crawler {
       case _ => emptyOrder(spark).groupBy("host").agg(count("*").as("hostDone"))
     }
 
+    // robots is joined (broadcast) every round — materialize it once so
+    // each round's broadcast reads the cached RDD instead of re-scanning
+    // the robots table (at 10^10 scale a real table scan per round)
+    val robotsK = ck(robots)
+
     val phaseLog = sys.env.contains("GRAFT_PHASE_LOG")
     def phase(round: Int, name: String, t: Long): Long = {
       val now = System.nanoTime()
@@ -99,7 +104,7 @@ object Crawler {
       val t0 = System.nanoTime()
       var tp = t0
       // ck inside run(): rank, fetch join and discovery each computed once
-      val r = CrawlRound.run(round, frontier, pagesKeyed, robots, cfg, ck,
+      val r = CrawlRound.run(round, frontier, pagesKeyed, robotsK, cfg, ck,
         Some(hostFetched))
 
       val fetched = r.fetched
@@ -176,16 +181,27 @@ object Crawler {
   def fastDrain(spark: SparkSession, pagesKeyed: DataFrame, robots: DataFrame,
                 seeds: DataFrame, cfg: CrawlConfig, maxRounds: Int): (Long, Int, Seq[Long]) = {
     val parts = spark.conf.get("spark.sql.shuffle.partitions").toInt
-    val ck = (df: DataFrame) => df.localCheckpoint(false)
+    val ckLog = sys.env.contains("GRAFT_CK_LOG")
+    val ck = (df: DataFrame) =>
+      if (!ckLog) df.localCheckpoint(false)
+      else {
+        val t = System.nanoTime()
+        val r = df.localCheckpoint(false) // toRdd: analyze+optimize+codegen NOW
+        System.err.println(f"[ck] ${(System.nanoTime() - t) / 1e9}%.2fs cols=${df.columns.length}")
+        r
+      }
     var frontier = ck(CrawlRound.seedFrontier(seeds))
+    val robotsK = ck(robots) // one robots scan for the whole drain
     var seen: DataFrame = frontier.select("urlHash").limit(0)
     var seenCount = 0L
     var bloomState: Option[SeenSet.BloomState] = None
     var frontierCount = frontier.count()
     val perRound = scala.collection.mutable.ArrayBuffer[Long]()
+    val phaseLog = sys.env.contains("GRAFT_PHASE_LOG")
     var round = 1
     while (round <= maxRounds && frontierCount > 0) {
-      val r = CrawlRound.run(round, frontier, pagesKeyed, robots,
+      val t0 = System.nanoTime()
+      val r = CrawlRound.run(round, frontier, pagesKeyed, robotsK,
         cfg.copy(keepPayload = false), ck)
       val newSeen = ck(seen.unionByName(r.fetched.select("urlHash"))
         .repartition(parts, col("urlHash")))
@@ -200,10 +216,14 @@ object Crawler {
           Some(bs.blooms)))))
       // the round's one expensive action: materializes (via lazy
       // checkpoints) rank → fetch → discovery → seen union → anti-join
+      val tPlan = System.nanoTime()
       frontierCount = next.count()
+      val tJob = System.nanoTime()
       // trivial follow-up: count of the now-materialized seen RDD —
       // a LogicalRDD scan, no re-analysis of the round's big plans
       val newSeenCount = newSeen.count()
+      if (phaseLog) System.err.println(
+        f"[fastDrain] r$round plan: ${(tPlan - t0) / 1e9}%.2fs job: ${(tJob - tPlan) / 1e9}%.2fs tail: ${(System.nanoTime() - tJob) / 1e9}%.2fs next=$frontierCount")
       perRound += (newSeenCount - seenCount)
       seenCount = newSeenCount
       r.hits.unpersist(); r.raw.unpersist()
