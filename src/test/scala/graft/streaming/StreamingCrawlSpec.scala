@@ -127,4 +127,34 @@ class StreamingCrawlSpec extends SparkTestBase {
     assert(order.select("urlHash").as[Long].collect().toSet ==
       batch.order.select("urlHash").as[Long].collect().toSet)
   }
+
+  test("warcMetrics (T7): tumbling per-host windows; late rows beyond the watermark dropped") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    def ts(s: String) = java.sql.Timestamp.valueOf(s"2026-01-01 $s")
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[(java.sql.Timestamp, String, Boolean)]
+    val q = StreamingCrawl.warcMetrics(
+        ms.toDF.toDF("warc_ts", "host", "fetchOk"))
+      .writeStream.format("memory").queryName("warcm").outputMode("append")
+      .start()
+    try {
+      // batch 1: two fetches in the 10:00 window + a 12:00 event that
+      // advances the watermark (1h delay) to 11:00
+      ms.addData((ts("10:00:10"), "a", true), (ts("10:00:40"), "a", true),
+        (ts("12:00:00"), "a", true))
+      q.processAllAvailable()
+      // batch 2: a row at 09:30 — older than the 11:00 watermark → dropped
+      ms.addData((ts("09:30:00"), "a", false))
+      q.processAllAvailable()
+      // batch 3: push the watermark past every closed window
+      ms.addData((ts("14:00:00"), "a", true))
+      q.processAllAvailable()
+      val out = spark.table("warcm")
+        .select(date_format($"window.start", "HH:mm").as("w"),
+          $"host", $"fetches", $"misses")
+        .as[(String, String, Long, Long)].collect().toSet
+      assert(out.contains(("10:00", "a", 2L, 0L))) // late 09:30 miss not merged anywhere
+      assert(!out.exists(_._1 == "09:30"), s"late row must be dropped, got $out")
+    } finally q.stop()
+  }
 }
