@@ -159,9 +159,14 @@ object CrawlRound {
     val ranked0 = politenessRank(frontier, cfg)
     val delayCapped =
       if (cfg.roundSeconds > 0 && robots.columns.contains("crawlDelay"))
-        ranked0.join(broadcast(robots.select(col("host"),
-          when(col("crawlDelay") > 0,
-            ceil(lit(cfg.roundSeconds) / col("crawlDelay")).cast("int")).as("__delayCap"))),
+        // max() both uniquifies per host (a duplicated robots row must
+        // not duplicate budget-path frontier rows) and takes the most
+        // conservative delay
+        ranked0.join(broadcast(robots.groupBy("host")
+          .agg(max("crawlDelay").as("__delay"))
+          .select(col("host"),
+            when(col("__delay") > 0,
+              ceil(lit(cfg.roundSeconds) / col("__delay")).cast("int")).as("__delayCap"))),
           Seq("host"), "left")
       else ranked0.withColumn("__delayCap", lit(null).cast("int"))
     val rateCap = least(lit(cfg.perHostBudget),

@@ -187,6 +187,25 @@ class CrawlSpec extends SparkTestBase {
     assert(perRound.filter($"host" =!= Synth.hostName(1) && $"count" > 6).count() > 0)
   }
 
+  test("duplicated robots rows: max crawl-delay wins, no frontier row duplication") {
+    import graft.synth.PageSynth
+    // two robots rows for host 1 (delay 5 s and 10 s): the delay-cap join
+    // must uniquify per host (else budget-path rows duplicate → double
+    // fetch) and keep the conservative max ⇒ ≤ ceil(60/10) = 6 per round
+    val base = PageSynth.robots(spark, synthCfg).toDF()
+      .withColumn("crawlDelay",
+        when($"host" === Synth.hostName(1), 10.0).otherwise($"crawlDelay"))
+    val dupRobots = base.unionByName(
+      base.filter($"host" === Synth.hostName(1)).withColumn("crawlDelay", lit(5.0)))
+    val r = Crawler.crawl(spark, pages, dupRobots, seeds,
+      crawlCfg.copy(roundSeconds = 60.0), 6, None, Some(keyed))
+    val perRound = r.order.groupBy("round", "host").count()
+    assert(perRound.filter($"host" === Synth.hostName(1) && $"count" > 6).count() == 0)
+    assert(r.order.filter($"host" === Synth.hostName(1)).count() > 0)
+    // no URL fetched twice (the no-double-fetch invariant survives dup rows)
+    assert(r.order.groupBy("canonUrl").count().filter($"count" > 1).count() == 0)
+  }
+
   test("incremental seen-bloom: delta merges ≡ full rebuild byte-for-byte; capacity rebuild is geometric") {
     val cfg = CrawlConfig(bloomBuckets = 8)
     val all = spark.range(0, 3000)
