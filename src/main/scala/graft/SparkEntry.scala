@@ -10,7 +10,7 @@ import graft.frontier.{Crawler, CrawlRound}
 import graft.extract.{Classify, Dedup, FacilityExtract, Validation}
 import graft.functions.UrlPredicates
 import graft.sources.Sitemap
-import graft.text.{Chunker, TextOps}
+import graft.text.{Chunker, TextOps, TextPipeline}
 import graft.dedup.NearDup
 import graft.ann.Similarity
 import graft.multimodal.MediaOps
@@ -416,6 +416,29 @@ object SparkEntry {
         .select(col("media_id"), col("width"), col("height"),
           round(col("mean_luma"), 4).as("mean_luma"), size(col("embedding")).as("dim"))
         .orderBy("media_id")
+    }),
+
+    "q41_prep_pipeline" -> ((s, dir) => { // end-to-end training-data prep
+      // quality → langid → exact dedup → MinHash-LSH near-dup → chunking,
+      // with the signature+shingle-set stages fused into one text pass
+      // (TextPipeline.signatureShingles). Planted rows exercise each gate:
+      // +1M exact copies (exact dedup), +2M one-word-appended near-copies
+      // (jaccard (w-4)/(w-3) ≥ 0.973 at w ≥ 40 — far above the LSH-miss
+      // zone), +3M punctuation junk (quality gate).
+      val d0 = T(s, dir, "documents").select("doc_id", "text")
+        .orderBy("doc_id").limit(1200)
+        .repartition(col("doc_id")) // limit collapses to one partition
+      val nw = size(TextOps.words(col("text")))
+      val planted = d0.filter(pmod(col("doc_id"), lit(5)) === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+        .unionByName(d0.filter(pmod(col("doc_id"), lit(7)) === 0 && nw >= 40)
+          .select((col("doc_id") + 2000000L).as("doc_id"),
+            concat(col("text"), lit(" graftnearcopy")).as("text")))
+        .unionByName(d0.filter(pmod(col("doc_id"), lit(11)) === 0)
+          .select((col("doc_id") + 3000000L).as("doc_id"),
+            lit("!? " * 20).as("text")))
+      val r = TextPipeline.prepare(d0.unionByName(planted), "doc_id", "text")
+      TextPipeline.stats(r, "text")
     })
   )
 
@@ -469,6 +492,68 @@ object SparkEntry {
        |LIMIT 10""".stripMargin
   }
 
+  /** Per-language stopword hits over a precomputed `words` list column. */
+  private def hitsOverWordsSql(lang: String): String = {
+    val set = TextOps.stopwords(lang).map(w => s"'$w'").mkString(", ")
+    s"len(list_filter(words, w -> w IN ($set)))"
+  }
+
+  /** TextOps.qualityScore over (text, words) columns — identical formula
+    * to the q20 oracle, lifted over a precomputed words list. */
+  private def qualityOverWordsSql: String =
+    s"""round(CAST(
+       |  (CASE WHEN (CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len(regexp_split_to_array(trim(text), '\\s+')) END) BETWEEN 10 AND 100000 THEN 0.4 ELSE 0.0 END) +
+       |  (CASE WHEN (CASE WHEN len(words) = 0 THEN 0.0 ELSE ${hitsOverWordsSql("en")} * 1.0 / len(words) END) >= 0.05 THEN 0.3 ELSE 0.0 END) +
+       |  (CASE WHEN (CASE WHEN length(text) = 0 THEN 0.0 ELSE (length(text) - length(regexp_replace(text, '[.,;:!?''"()-]', '', 'g'))) * 1.0 / length(text) END) <= 0.2 THEN 0.2 ELSE 0.0 END) +
+       |  (CASE WHEN (CASE WHEN len(words) = 0 THEN 0.0 ELSE list_sum(list_transform(words, w -> length(w))) * 1.0 / len(words) END) BETWEEN 3.0 AND 10.0 THEN 0.1 ELSE 0.0 END)
+       | AS DOUBLE), 1)""".stripMargin
+
+  /** TextOps.langIdFirstMatch over a precomputed words list. */
+  private def langIdOverWordsSql: String =
+    s"""CASE WHEN ${hitsOverWordsSql("en")} >= 2 THEN 'en'
+       |     WHEN ${hitsOverWordsSql("es")} >= 2 THEN 'es'
+       |     WHEN ${hitsOverWordsSql("de")} >= 2 THEN 'de'
+       |     WHEN ${hitsOverWordsSql("fr")} >= 2 THEN 'fr'
+       |     ELSE 'und' END""".stripMargin
+
+  /** q41 oracle: the full prep pipeline recomputed in SQL — same planted
+    * rows, same gates, exact (not LSH-approximated) near-dup pairs; the
+    * LSH candidate-miss probability at the corpus's minimum over-threshold
+    * jaccard (0.875) is < 1e-6, so equality is a hard check (q25's
+    * argument). */
+  private def q41OracleSql: String =
+    s"""WITH d0 AS (SELECT doc_id, text FROM documents ORDER BY doc_id LIMIT 1200),
+       |d0w AS (SELECT doc_id, text, $wordsSql AS words FROM d0),
+       |d AS (
+       |  SELECT doc_id, text FROM d0
+       |  UNION ALL SELECT doc_id + 1000000, text FROM d0 WHERE doc_id % 5 = 0
+       |  UNION ALL SELECT doc_id + 2000000, text || ' graftnearcopy' FROM d0w
+       |    WHERE doc_id % 7 = 0 AND len(words) >= 40
+       |  UNION ALL SELECT doc_id + 3000000, repeat('!? ', 20) FROM d0 WHERE doc_id % 11 = 0),
+       |scored AS (SELECT doc_id, text, $qualityOverWordsSql AS q, $langIdOverWordsSql AS l
+       |  FROM (SELECT doc_id, text, $wordsSql AS words FROM d)),
+       |flt AS (SELECT doc_id, text FROM scored WHERE q >= 0.65 AND l = 'en'),
+       |e AS (SELECT min(doc_id) AS doc_id, arg_min(text, doc_id) AS text FROM flt
+       |  GROUP BY md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))),
+       |sh AS (SELECT doc_id, ${duckShingles(5)} AS s
+       |  FROM (SELECT doc_id, $wordsSql AS words FROM e)),
+       |vp AS (SELECT * FROM (
+       |  SELECT a.doc_id AS ia, b.doc_id AS ib,
+       |    len(list_intersect(a.s, b.s)) * 1.0 / len(list_distinct(list_concat(a.s, b.s))) AS j
+       |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id) WHERE j >= 0.8),
+       |s AS (SELECT * FROM e WHERE doc_id NOT IN (SELECT ib FROM vp)),
+       |tok AS (SELECT doc_id, CASE WHEN length(trim(text)) = 0 THEN 0
+       |  ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n FROM s)
+       |SELECT
+       | (SELECT count(*) FROM d) AS n_input,
+       | (SELECT count(*) FROM scored WHERE q >= 0.65) AS n_quality,
+       | (SELECT count(*) FROM flt) AS n_lang,
+       | (SELECT count(*) FROM e) AS n_exact,
+       | (SELECT count(*) FROM vp) AS n_neardup_pairs,
+       | (SELECT count(*) FROM s) AS n_survivors,
+       | (SELECT CAST(coalesce(sum(CASE WHEN n = 0 THEN 0 ELSE (n - 1) // 45 + 1 END), 0) AS BIGINT) FROM tok) AS n_chunks,
+       | (SELECT CAST(coalesce(sum(n), 0) AS BIGINT) FROM tok) AS n_tokens""".stripMargin
+
   /** Golden-fixture oracle (see [[GenDriverFixtures]]): the query has no
     * sf-table input (deterministic synthetic corpus + custom expressions
     * DuckDB cannot evaluate), so its once-pinned result parquet IS the
@@ -495,6 +580,7 @@ object SparkEntry {
          |SELECT idA, idB, round(j, 4) AS jaccard FROM p WHERE j >= 0.8
          |ORDER BY idA, idB""".stripMargin,
     "q26_simhash_pairs" -> q26OracleSql,
+    "q41_prep_pipeline" -> q41OracleSql,
     "q27_jaccard_consecutive" ->
       s"""WITH w AS (SELECT doc_id, $duckWords AS words FROM documents),
          |sh AS (SELECT doc_id, ${duckShingles(3)} AS s FROM w)

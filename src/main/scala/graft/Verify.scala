@@ -15,7 +15,10 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
+    // GRAFT_ONLY_QUERIES=q41_prep_pipeline,... — dump a subset (dev loop)
+    val only = sys.env.get("GRAFT_ONLY_QUERIES").map(_.split(",").toSet)
+    SparkEntry.queries.filter(t => only.forall(_.contains(t._1)))
+      .foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>

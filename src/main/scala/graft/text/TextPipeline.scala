@@ -1,0 +1,149 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.dedup.NearDup
+
+/**
+ * End-to-end training-data preparation pipeline — the composed operator a
+ * 100 TB webtext corpus actually runs, in the order that minimizes bytes
+ * reaching each successive (more expensive) stage:
+ *
+ *   quality filter → language filter → exact dedup → MinHash-LSH near-dup
+ *   → chunking + token accounting
+ *
+ * Stage-order rationale at scale: the scalar quality/langid filters are
+ * codegen'd column expressions evaluated inside the scan (no shuffle) and
+ * typically drop 30-70 % of raw webtext, so every shuffle-bearing stage
+ * downstream (exact groupBy, shingle aggregate, LSH band join) sees only
+ * the surviving fraction.
+ *
+ * The near-dup stage is where composing beats chaining the standalone
+ * operators: [[signatureShingles]] computes the MinHash signature AND the
+ * exact shingle set for the verify join in ONE exploded-shingle hash
+ * aggregate (one pass over text, one shuffle), where
+ * [[NearDup.nearDupPairs]] run standalone shingles the corpus twice
+ * (signature pass + verify-set pass). At 100 TB the second full-text
+ * scan is the dominant saving.
+ *
+ * Reference semantics: the dedup family matches deduplicator.py (exact
+ * signature dedup) generalized to corpus scale per SURVEY.md §2.10; the
+ * quality/langid/chunking stages mirror TextOps/Chunker (themselves
+ * oracled by q19-q21/q35).
+ */
+object TextPipeline {
+
+  /** Pipeline knobs. Defaults match the oracled q41 configuration. */
+  case class PipelineConfig(
+      minQuality: Double = 0.65, // keeps the 0.7/1.0 quality strata, drops junk
+      lang: String = "en",
+      threshold: Double = 0.8, // verified-Jaccard near-dup threshold
+      numPerms: Int = 64,
+      bands: Int = 16, // 4-row bands: candidate miss < 1e-6 at j >= 0.875
+      k: Int = 5, // word-shingle width (see q25: 3-shingles collide on tiny vocabs)
+      chunkTokens: Int = 50,
+      overlap: Double = 0.10)
+
+  /** Intermediate frames, each derived from the previous stage. `scored`,
+    * `exact` and `survivors` are lazily localCheckpoint'ed: every stat and
+    * every downstream stage re-reads the materialized parent instead of
+    * re-running the cascade (the q38 lesson). */
+  case class PipelineResult(scored: DataFrame, filtered: DataFrame,
+                            exact: DataFrame, pairs: DataFrame,
+                            survivors: DataFrame)
+
+  /**
+   * One-pass MinHash signatures + exact shingle sets: explode k-shingle
+   * hashes to rows, then a SINGLE hash aggregate computing all `numPerms`
+   * permutation minima AND `collect_set` of the shingle hashes. Shingling
+   * runs exactly once per document; the signature columns feed LSH
+   * banding, the set column feeds the exact-Jaccard verify join — no
+   * second pass over text.
+   * Output: (idCol, m0…m{numPerms-1}, __shSet).
+   */
+  def signatureShingles(docs: DataFrame, idCol: String, textCol: String,
+                        numPerms: Int = 64, k: Int = 5): DataFrame =
+    docs.select(col(idCol), explode(NearDup.shingleHashes(col(textCol), k)).as("__sh"))
+      .groupBy(idCol)
+      .agg(min(xxhash64(col("__sh"), lit(0))).as("m0"),
+        (1 until numPerms).map(p => min(xxhash64(col("__sh"), lit(p))).as(s"m$p"))
+          :+ collect_set(col("__sh")).as("__shSet"): _*)
+
+  /** Verified near-dup pairs from a [[signatureShingles]] frame: LSH band
+    * bucket equi-join for candidates (never all-pairs), exact Jaccard from
+    * the carried shingle sets. Output: (idA, idB, jaccard), idA < idB. */
+  def nearDupPairsFromSigs(sigs: DataFrame, idCol: String,
+                           numPerms: Int, bands: Int,
+                           threshold: Double): DataFrame = {
+    require(numPerms % bands == 0, s"numPerms ($numPerms) must divide into bands ($bands)")
+    val rows = numPerms / bands
+    val banded = sigs.select(col(idCol).as("id"),
+      posexplode(array((0 until bands).map { b =>
+        xxhash64((b * rows until (b + 1) * rows).map(i => col(s"m$i")): _*)
+      }: _*)).as(Seq("band", "bucket")))
+    val cands = banded.select(col("id").as("idA"), col("band"), col("bucket"))
+      .join(banded.select(col("id").as("idB"), col("band"), col("bucket")),
+        Seq("band", "bucket"))
+      .filter(col("idA") < col("idB"))
+      .select("idA", "idB").distinct()
+    val sets = sigs.select(col(idCol), col("__shSet"))
+    val inter = size(array_intersect(col("shA"), col("shB")))
+    val uni = size(array_union(col("shA"), col("shB")))
+    cands
+      .join(sets.select(col(idCol).as("idA"), col("__shSet").as("shA")), Seq("idA"))
+      .join(sets.select(col(idCol).as("idB"), col("__shSet").as("shB")), Seq("idB"))
+      .withColumn("jaccard", when(uni === 0, 0.0).otherwise(inter.cast("double") / uni))
+      .filter(col("jaccard") >= threshold)
+      .select("idA", "idB", "jaccard")
+  }
+
+  /** Run the full pipeline. All frames are lazy; nothing executes until an
+    * action on a returned frame. */
+  def prepare(docs: DataFrame, idCol: String, textCol: String,
+              cfg: PipelineConfig = PipelineConfig()): PipelineResult = {
+    val text = col(textCol)
+    // one scored pass feeds both the quality and language gates (and the
+    // per-stage stats) — scalar exprs evaluated once, not per consumer
+    val scored = docs.select(col(idCol), text,
+        TextOps.qualityScore(text).as("__q"),
+        TextOps.langIdFirstMatch(text).as("__l"))
+      .localCheckpoint(false)
+    val filtered = scored
+      .filter(col("__q") >= cfg.minQuality && col("__l") === cfg.lang)
+      .select(col(idCol), text)
+    // exact dedup: deterministic survivor = min id per normalized-text
+    // fingerprint (min over (id, text) structs; ids are unique)
+    val exact = filtered
+      .groupBy(TextOps.fingerprint(text).as("__fp"))
+      .agg(min(struct(col(idCol), text)).as("__s"))
+      .select(col(s"__s.$idCol").as(idCol), col(s"__s.$textCol").as(textCol))
+      .localCheckpoint(false)
+    val sigs = signatureShingles(exact, idCol, textCol, cfg.numPerms, cfg.k)
+    val pairs = nearDupPairsFromSigs(sigs, idCol, cfg.numPerms, cfg.bands, cfg.threshold)
+    val dropIds = pairs.select(col("idB").as(idCol)).distinct()
+    val survivors = exact.join(dropIds, Seq(idCol), "left_anti").localCheckpoint(false)
+    PipelineResult(scored, filtered, exact, pairs, survivors)
+  }
+
+  /** One-row per-stage accounting over a [[prepare]] result: input size,
+    * rows past each gate, verified near-dup pairs, final survivors, and
+    * the training-corpus yield (chunks + whitespace tokens). */
+  def stats(r: PipelineResult, textCol: String,
+            cfg: PipelineConfig = PipelineConfig()): DataFrame = {
+    val nInput = r.scored.agg(count("*").as("n_input"))
+    val nQuality = r.scored.filter(col("__q") >= cfg.minQuality)
+      .agg(count("*").as("n_quality"))
+    val nLang = r.scored.filter(col("__q") >= cfg.minQuality && col("__l") === cfg.lang)
+      .agg(count("*").as("n_lang"))
+    val nExact = r.exact.agg(count("*").as("n_exact"))
+    val nPairs = r.pairs.agg(count("*").as("n_neardup_pairs"))
+    val nSurv = r.survivors.agg(count("*").as("n_survivors"))
+    val nChunks = Chunker.chunk(r.survivors, textCol, cfg.chunkTokens, cfg.overlap)
+      .agg(count("*").as("n_chunks"))
+    val nTokens = r.survivors
+      .agg(coalesce(sum(TextOps.tokenCountWs(col(textCol)).cast("long")), lit(0L))
+        .as("n_tokens"))
+    nInput.crossJoin(nQuality).crossJoin(nLang).crossJoin(nExact)
+      .crossJoin(nPairs).crossJoin(nSurv).crossJoin(nChunks).crossJoin(nTokens)
+  }
+}

@@ -1,0 +1,73 @@
+package graft.text
+
+import org.apache.spark.sql.functions._
+import graft.SparkTestBase
+import graft.dedup.NearDup
+
+/** TextPipeline: the composed prep pipeline (quality → langid → exact
+  * dedup → near-dup → chunking) and its one-pass signature+shingle-set
+  * aggregate (equivalence vs the standalone NearDup operators). */
+class TextPipelineSpec extends SparkTestBase {
+  import spark.implicits._
+
+  // 81 words, period 9 → only 9 distinct 5-shingles; en stopword ratio 0.44
+  private val enText = Seq.fill(9)("the quick data is good and fast for all").mkString(" ")
+  // one appended word adds exactly 1 new 5-shingle → jaccard 9/10 = 0.9
+  private val enNear = enText + " extraword"
+  private val esText = Seq.fill(5)("el perro de la casa que corre por con una para").mkString(" ")
+  private val enOther = "different vocabulary entirely with the unique zebra words making twelve tokens here"
+  private val junk = "!? " * 20
+
+  private def corpus = Seq(
+    (1L, enText), // survives
+    (2L, enText), // exact copy → exact-dedup drop (min id 1 survives)
+    (3L, enNear), // near copy of 1 → near-dup drop
+    (4L, esText), // quality 0.7 but lang 'es' → language gate
+    (5L, junk),   // quality 0.4 → quality gate
+    (6L, enOther) // survives (12 tokens, distinct vocabulary)
+  ).toDF("doc_id", "text")
+
+  test("pipeline gates: quality, language, exact dedup, near-dup, chunk/token yield") {
+    val r = TextPipeline.prepare(corpus, "doc_id", "text")
+    assert(r.survivors.select("doc_id").as[Long].collect().sorted.toSeq == Seq(1L, 6L))
+    val pairs = r.pairs.select("idA", "idB", "jaccard").as[(Long, Long, Double)].collect()
+    assert(pairs.toSeq == Seq((1L, 3L, 0.9))) // 9 shared / 10 distinct shingles
+
+    val row = TextPipeline.stats(r, "text").collect()(0)
+    val got = row.getValuesMap[Long](Seq("n_input", "n_quality", "n_lang",
+      "n_exact", "n_neardup_pairs", "n_survivors", "n_chunks", "n_tokens"))
+    assert(got == Map(
+      "n_input" -> 6L, "n_quality" -> 5L, "n_lang" -> 4L, "n_exact" -> 3L,
+      "n_neardup_pairs" -> 1L, "n_survivors" -> 2L,
+      // doc 1: 81 tokens → ceil-by-stride-45 = 2 chunks; doc 6: 12 → 1
+      "n_chunks" -> 3L, "n_tokens" -> 93L))
+  }
+
+  test("one-pass signatureShingles ≡ standalone minhashSignatures + shingle sets") {
+    val docs = corpus.filter($"doc_id" =!= 5L) // junk has 1 degenerate shingle; fine either way but keep it simple
+    val fused = TextPipeline.signatureShingles(docs, "doc_id", "text", numPerms = 16, k = 5)
+    val standalone = NearDup.minhashSignatures(docs, "doc_id", "text", numPerms = 16, k = 5)
+    val sigCols = (0 until 16).map(i => col(s"m$i"))
+    assert(fused.select(col("doc_id") +: sigCols: _*).except(standalone).isEmpty)
+    assert(standalone.except(fused.select(col("doc_id") +: sigCols: _*)).isEmpty)
+    // carried shingle sets = shingleHashes sets (order-insensitive)
+    val fusedSets = fused.select(col("doc_id"), array_sort(col("__shSet")).as("s"))
+    val direct = docs.select(col("doc_id"),
+      array_sort(NearDup.shingleHashes(col("text"), 5)).as("s"))
+    assert(fusedSets.except(direct).isEmpty && direct.except(fusedSets).isEmpty)
+  }
+
+  test("fused near-dup pairs ≡ NearDup.nearDupPairs on the same corpus") {
+    val docs = corpus
+    val sigs = TextPipeline.signatureShingles(docs, "doc_id", "text", numPerms = 64, k = 5)
+    val fused = TextPipeline.nearDupPairsFromSigs(sigs, "doc_id",
+        numPerms = 64, bands = 16, threshold = 0.8)
+      .select("idA", "idB", "jaccard").as[(Long, Long, Double)].collect().sorted.toSeq
+    val standalone = NearDup.nearDupPairs(docs, "doc_id", "text",
+        threshold = 0.8, numPerms = 64, bands = 16, k = 5)
+      .select("idA", "idB", "jaccard").as[(Long, Long, Double)].collect().sorted.toSeq
+    assert(fused == standalone)
+    // without the exact stage, copy 2 pairs with both 1 and near-copy 3
+    assert(fused.map(p => (p._1, p._2)) == Seq((1L, 2L), (1L, 3L), (2L, 3L)))
+  }
+}
