@@ -439,6 +439,30 @@ object SparkEntry {
             lit("!? " * 20).as("text")))
       val r = TextPipeline.prepare(d0.unionByName(planted), "doc_id", "text")
       TextPipeline.stats(r, "text")
+    }),
+
+    "q42_incremental_dedup" -> ((s, dir) => { // batch-vs-store near-dup dedup
+      // batch 1 = the natural docs; batch 2 = planted near-copies (+2M,
+      // cross-batch dups of batch 1) and word-reversed docs (+3M, novel
+      // shingle sets → batch-2 survivors). The oracle applies the ONE-SHOT
+      // full-corpus drop rule ("∃ earlier doc with J ≥ 0.8") in SQL, so a
+      // green row proves incremental-against-store ≡ full-corpus dedup.
+      val d0 = T(s, dir, "documents").select("doc_id", "text")
+        .orderBy("doc_id").limit(1200)
+        .repartition(col("doc_id")) // limit collapses to one partition
+      val nw = size(TextOps.words(col("text")))
+      val b2 = d0.filter(pmod(col("doc_id"), lit(3)) === 0 && nw >= 40)
+        .select((col("doc_id") + 2000000L).as("doc_id"),
+          concat(col("text"), lit(" graftnearcopy")).as("text"))
+        .unionByName(d0.filter(pmod(col("doc_id"), lit(13)) === 0)
+          .select((col("doc_id") + 3000000L).as("doc_id"),
+            concat_ws(" ", reverse(split(trim(col("text")), "\\s+"))).as("text")))
+      val empty = TextPipeline.signatureShingles(d0.limit(0), "doc_id", "text")
+      val (s1, sig1) = TextPipeline.incrementalDedup(empty, d0, "doc_id", "text")
+      val (s2, sig2) = TextPipeline.incrementalDedup(sig1, b2, "doc_id", "text")
+      s1.agg(count("*").as("n_batch1_survivors"))
+        .crossJoin(s2.agg(count("*").as("n_batch2_survivors")))
+        .crossJoin(sig1.unionByName(sig2).agg(count("*").as("n_processed")))
     })
   )
 
@@ -554,6 +578,33 @@ object SparkEntry {
        | (SELECT CAST(coalesce(sum(CASE WHEN n = 0 THEN 0 ELSE (n - 1) // 45 + 1 END), 0) AS BIGINT) FROM tok) AS n_chunks,
        | (SELECT CAST(coalesce(sum(n), 0) AS BIGINT) FROM tok) AS n_tokens""".stripMargin
 
+  /** q42 oracle: one-shot full-corpus near-dup dedup in SQL (drop any doc
+    * with an earlier doc at J ≥ 0.8 — dropped earlier docs still count,
+    * matching the append-all-signatures store contract). A green row
+    * proves the Spark side's two-batch incremental path is EXACTLY the
+    * one-shot semantics. */
+  private def q42OracleSql: String =
+    s"""WITH d0 AS (SELECT doc_id, text FROM documents ORDER BY doc_id LIMIT 1200),
+       |d0w AS (SELECT doc_id, text, $wordsSql AS words FROM d0),
+       |d AS (
+       |  SELECT doc_id, text FROM d0
+       |  UNION ALL SELECT doc_id + 2000000, text || ' graftnearcopy' FROM d0w
+       |    WHERE doc_id % 3 = 0 AND len(words) >= 40
+       |  UNION ALL SELECT doc_id + 3000000,
+       |      array_to_string(list_reverse(regexp_split_to_array(trim(text), '\\s+')), ' ')
+       |    FROM d0 WHERE doc_id % 13 = 0),
+       |sh AS (SELECT doc_id, ${duckShingles(5)} AS s
+       |  FROM (SELECT doc_id, $wordsSql AS words FROM d)),
+       |vp AS (SELECT * FROM (
+       |  SELECT a.doc_id AS ia, b.doc_id AS ib,
+       |    len(list_intersect(a.s, b.s)) * 1.0 / len(list_distinct(list_concat(a.s, b.s))) AS j
+       |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id) WHERE j >= 0.8),
+       |s AS (SELECT doc_id FROM d WHERE doc_id NOT IN (SELECT ib FROM vp))
+       |SELECT
+       | (SELECT count(*) FROM s WHERE doc_id < 2000000) AS n_batch1_survivors,
+       | (SELECT count(*) FROM s WHERE doc_id >= 2000000) AS n_batch2_survivors,
+       | (SELECT count(*) FROM d) AS n_processed""".stripMargin
+
   /** Golden-fixture oracle (see [[GenDriverFixtures]]): the query has no
     * sf-table input (deterministic synthetic corpus + custom expressions
     * DuckDB cannot evaluate), so its once-pinned result parquet IS the
@@ -581,6 +632,7 @@ object SparkEntry {
          |ORDER BY idA, idB""".stripMargin,
     "q26_simhash_pairs" -> q26OracleSql,
     "q41_prep_pipeline" -> q41OracleSql,
+    "q42_incremental_dedup" -> q42OracleSql,
     "q27_jaccard_consecutive" ->
       s"""WITH w AS (SELECT doc_id, $duckWords AS words FROM documents),
          |sh AS (SELECT doc_id, ${duckShingles(3)} AS s FROM w)

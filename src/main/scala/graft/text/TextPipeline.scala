@@ -125,6 +125,63 @@ object TextPipeline {
     PipelineResult(scored, filtered, exact, pairs, survivors)
   }
 
+  /**
+   * Incremental near-dup dedup of a NEW batch against an append-only
+   * signature store — the 100 TB ingestion path (each snapshot deduped
+   * against every previously processed document WITHOUT re-shingling the
+   * old corpus).
+   *
+   * Contract: `storeSigs` rows are [[signatureShingles]] output for every
+   * doc processed so far — INCLUDING docs that were themselves dropped as
+   * near-dups. Keeping dropped docs' signatures is what makes incremental
+   * processing EXACTLY equal to one-shot [[NearDup.dropNearDups]] over the
+   * union (its drop rule is "∃ earlier doc with J ≥ t", regardless of that
+   * earlier doc's own fate; Jaccard is not transitive, so a survivor-only
+   * store would leak dups of dropped docs). Batch ids must be greater than
+   * all store ids ("earlier" = smaller id).
+   *
+   * Scale shape: the store is never shuffled — candidates come from a
+   * band-bucket equi-join probing the store's derived bands with the
+   * BROADCAST batch bands (one store scan per batch; with the store's
+   * band index materialized parquet-partitioned by band, bucket-range
+   * file skipping applies). Verify rehydrates shingle sets by id for
+   * candidate rows only.
+   *
+   * Returns (surviving new docs, full batch signatures) — append the
+   * latter to the store whether or not each doc survived.
+   */
+  def incrementalDedup(storeSigs: DataFrame, newDocs: DataFrame,
+                       idCol: String, textCol: String,
+                       cfg: PipelineConfig = PipelineConfig()): (DataFrame, DataFrame) = {
+    val newSigs = signatureShingles(newDocs, idCol, textCol, cfg.numPerms, cfg.k)
+      .localCheckpoint(false) // one shingling pass; reused for bands + verify + return
+    // within-batch pairs: the standalone fused path
+    val withinDrops = nearDupPairsFromSigs(newSigs, idCol, cfg.numPerms, cfg.bands,
+      cfg.threshold).select(col("idB").as(idCol))
+    // cross pairs: store bands ⋈ broadcast(batch bands)
+    def bands(sigs: DataFrame): DataFrame = {
+      val rows = cfg.numPerms / cfg.bands
+      sigs.select(col(idCol).as("id"),
+        posexplode(array((0 until cfg.bands).map { b =>
+          xxhash64((b * rows until (b + 1) * rows).map(i => col(s"m$i")): _*)
+        }: _*)).as(Seq("band", "bucket")))
+    }
+    val crossCands = bands(storeSigs).select(col("id").as("oldId"), col("band"), col("bucket"))
+      .join(broadcast(bands(newSigs).select(col("id").as("newId"), col("band"), col("bucket"))),
+        Seq("band", "bucket"))
+      .select("oldId", "newId").distinct()
+    val inter = size(array_intersect(col("shA"), col("shB")))
+    val uni = size(array_union(col("shA"), col("shB")))
+    val crossDrops = crossCands
+      .join(storeSigs.select(col(idCol).as("oldId"), col("__shSet").as("shA")), Seq("oldId"))
+      .join(newSigs.select(col(idCol).as("newId"), col("__shSet").as("shB")), Seq("newId"))
+      .filter(when(uni === 0, 0.0).otherwise(inter.cast("double") / uni) >= cfg.threshold)
+      .select(col("newId").as(idCol))
+    val survivors = newDocs.join(
+      withinDrops.unionByName(crossDrops).distinct(), Seq(idCol), "left_anti")
+    (survivors, newSigs)
+  }
+
   /** One-row per-stage accounting over a [[prepare]] result: input size,
     * rows past each gate, verified near-dup pairs, final survivors, and
     * the training-corpus yield (chunks + whitespace tokens). */

@@ -70,4 +70,30 @@ class TextPipelineSpec extends SparkTestBase {
     // without the exact stage, copy 2 pairs with both 1 and near-copy 3
     assert(fused.map(p => (p._1, p._2)) == Seq((1L, 2L), (1L, 3L), (2L, 3L)))
   }
+
+  test("incremental dedup ≡ one-shot dedup; dups of DROPPED store docs still caught") {
+    // base has 9 distinct 5-shingles (period-9 text); appending m words
+    // adds exactly m shingles → controllable jaccards:
+    //   J(1,2) = 9/11 ≈ 0.818  (batch-1 pair → 2 dropped)
+    //   J(1,3) = 9/13 ≈ 0.692  (below threshold)
+    //   J(2,3) = 11/13 ≈ 0.846 (3's ONLY over-threshold partner is the
+    //                           dropped doc 2 — survivor-only store would leak it)
+    val cfg = TextPipeline.PipelineConfig(numPerms = 64, bands = 32)
+    val b1 = Seq((1L, enText), (2L, enText + " alpha beta")).toDF("doc_id", "text")
+    val b2 = Seq((3L, enText + " alpha beta gamma delta"), (4L, enOther))
+      .toDF("doc_id", "text")
+    val empty = TextPipeline.signatureShingles(b1.limit(0), "doc_id", "text",
+      cfg.numPerms, cfg.k)
+    val (s1, sig1) = TextPipeline.incrementalDedup(empty, b1, "doc_id", "text", cfg)
+    val (s2, sig2) = TextPipeline.incrementalDedup(sig1, b2, "doc_id", "text", cfg)
+    assert(s1.select("doc_id").as[Long].collect().toSeq == Seq(1L))
+    assert(s2.select("doc_id").as[Long].collect().sorted.toSeq == Seq(4L)) // 3 dropped via 2
+    assert(sig1.count() == 2 && sig2.count() == 2) // store keeps dropped docs' sigs
+    // exact equivalence with the one-shot operator over the union
+    val oneShot = NearDup.dropNearDups(b1.unionByName(b2), "doc_id", "text",
+        threshold = cfg.threshold)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert((s1.select("doc_id").as[Long].collect() ++
+      s2.select("doc_id").as[Long].collect()).sorted.toSeq == oneShot)
+  }
 }
