@@ -177,8 +177,9 @@ object TextPipeline {
       .join(newSigs.select(col(idCol).as("newId"), col("__shSet").as("shB")), Seq("newId"))
       .filter(when(uni === 0, 0.0).otherwise(inter.cast("double") / uni) >= cfg.threshold)
       .select(col("newId").as(idCol))
+    // drop list ⊆ candidate pairs ≪ batch — always the broadcast side
     val survivors = newDocs.join(
-      withinDrops.unionByName(crossDrops).distinct(), Seq(idCol), "left_anti")
+      broadcast(withinDrops.unionByName(crossDrops).distinct()), Seq(idCol), "left_anti")
     (survivors, newSigs)
   }
 

@@ -95,5 +95,11 @@ class TextPipelineSpec extends SparkTestBase {
       .select("doc_id").as[Long].collect().sorted.toSeq
     assert((s1.select("doc_id").as[Long].collect() ++
       s2.select("doc_id").as[Long].collect()).sorted.toSeq == oneShot)
+
+    // scale shape: the store side of the cross-candidate join is probed,
+    // never shuffled — batch bands broadcast, no sort-merge join anywhere
+    val plan = s2.queryExecution.executedPlan.toString.toLowerCase
+    assert(plan.contains("broadcasthashjoin"), s"expected broadcast band join:\n$plan")
+    assert(!plan.contains("sortmergejoin"), s"store side must not shuffle:\n$plan")
   }
 }
