@@ -188,20 +188,23 @@ object TextPipeline {
     * the training-corpus yield (chunks + whitespace tokens). */
   def stats(r: PipelineResult, textCol: String,
             cfg: PipelineConfig = PipelineConfig()): DataFrame = {
-    val nInput = r.scored.agg(count("*").as("n_input"))
-    val nQuality = r.scored.filter(col("__q") >= cfg.minQuality)
-      .agg(count("*").as("n_quality"))
-    val nLang = r.scored.filter(col("__q") >= cfg.minQuality && col("__l") === cfg.lang)
-      .agg(count("*").as("n_lang"))
+    // conditional aggregation: ONE pass over each checkpointed parent
+    // (input gates, survivors) instead of one job per counter
+    val gateCounts = r.scored.agg(
+      count("*").as("n_input"),
+      coalesce(sum(when(col("__q") >= cfg.minQuality, 1L).otherwise(0L)), lit(0L))
+        .as("n_quality"),
+      coalesce(sum(when(col("__q") >= cfg.minQuality && col("__l") === cfg.lang, 1L)
+        .otherwise(0L)), lit(0L)).as("n_lang"))
     val nExact = r.exact.agg(count("*").as("n_exact"))
     val nPairs = r.pairs.agg(count("*").as("n_neardup_pairs"))
-    val nSurv = r.survivors.agg(count("*").as("n_survivors"))
+    val survCounts = r.survivors.agg(
+      count("*").as("n_survivors"),
+      coalesce(sum(TextOps.tokenCountWs(col(textCol)).cast("long")), lit(0L))
+        .as("n_tokens"))
     val nChunks = Chunker.chunk(r.survivors, textCol, cfg.chunkTokens, cfg.overlap)
       .agg(count("*").as("n_chunks"))
-    val nTokens = r.survivors
-      .agg(coalesce(sum(TextOps.tokenCountWs(col(textCol)).cast("long")), lit(0L))
-        .as("n_tokens"))
-    nInput.crossJoin(nQuality).crossJoin(nLang).crossJoin(nExact)
-      .crossJoin(nPairs).crossJoin(nSurv).crossJoin(nChunks).crossJoin(nTokens)
+    gateCounts.crossJoin(nExact).crossJoin(nPairs).crossJoin(survCounts)
+      .crossJoin(nChunks)
   }
 }
