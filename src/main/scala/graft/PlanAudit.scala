@@ -71,6 +71,14 @@ object PlanAudit {
         graft.text.TextOps.langIdFirstMatch($"text"))
       .explain("formatted")
 
+    println("==== incremental dedup: broadcast band probe, no store shuffle ====")
+    val docs = spark.read.parquet(s"$dir/documents.parquet").select("doc_id", "text")
+    val storeSigs = graft.text.TextPipeline.signatureShingles(
+      docs.filter($"doc_id" < 250), "doc_id", "text")
+    val (surv, _) = graft.text.TextPipeline.incrementalDedup(
+      storeSigs, docs.filter($"doc_id" >= 250), "doc_id", "text")
+    surv.explain("formatted")
+
     spark.stop()
   }
 }
