@@ -1,6 +1,6 @@
 package graft.ann
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.synth.Synth
 
@@ -185,6 +185,23 @@ object Similarity {
       .orderBy(col("cos").desc, col(idCol).asc)
       .limit(k)
   }
+
+  /**
+   * Persisted IVF index: the [[ivfAssign]] table written
+   * parquet-partitioned by centroid (the Iceberg partition-transform
+   * stand-in, same pattern as the bucketed page store). A probe's
+   * `centroid IN (probeCids)` filter then prunes partitions at planning
+   * time — [[annIvf]] over an opened index reads only the nProbe
+   * centroid directories of the on-disk corpus, so a 10^10-vector index
+   * costs nProbe/k of a scan per query and nothing stays pinned in
+   * executor memory.
+   */
+  def writeIndex(assigned: DataFrame, dir: String): Unit =
+    assigned.write.mode("overwrite").partitionBy("centroid").parquet(dir)
+
+  /** Reopen a [[writeIndex]] directory; feed straight to [[annIvf]]. */
+  def openIndex(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(dir)
 
   /** Embedding-cosine near-dup pairs via LSH buckets (no cross-join).
     * Skew guard: a degenerate bucket (an all-similar corpus slice hashing

@@ -260,6 +260,18 @@ class OperatorSpec extends SparkTestBase {
     val ivf2 = Similarity.annIvf(assigned.repartition(7), "vec_id", "embedding",
       q, 5, nProbe = 3, cents).select("vec_id").as[Long].collect()
     assert(ivf.toSeq == ivf2.toSeq)
+
+    // persisted index: reopen → identical results, and the probe's
+    // centroid IN filter prunes partitions at planning time
+    val dir = tmpDir("ivfstore")
+    Similarity.writeIndex(assigned, dir)
+    val opened = Similarity.openIndex(spark, dir)
+    val ivfDisk = Similarity.annIvf(opened, "vec_id", "embedding", q, 5,
+      nProbe = 3, cents)
+    assert(ivfDisk.select("vec_id").as[Long].collect().toSeq == ivf.toSeq)
+    val scan = ivfDisk.queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters") && scan.contains("centroid"),
+      s"expected centroid partition pruning on the index scan:\n$scan")
   }
 
   // ---------- text ops ----------
