@@ -102,4 +102,49 @@ class TextPipelineSpec extends SparkTestBase {
     assert(plan.contains("broadcasthashjoin"), s"expected broadcast band join:\n$plan")
     assert(!plan.contains("sortmergejoin"), s"store side must not shuffle:\n$plan")
   }
+
+  test("incremental dedup over any batch split ≡ one-shot dedup (seeded property)") {
+    import graft.synth.Synth
+    def randText(seed: Long, nWords: Int): String =
+      (0 until nWords).map { j =>
+        val h = Synth.mix2(seed, j.toLong)
+        (0 until 3 + (h & 3).toInt).map(s =>
+          ('a' + math.floorMod(h >> (5 * s), 26).toInt).toChar).mkString
+      }.mkString(" ")
+    val cfg = TextPipeline.PipelineConfig()
+    for (seed <- 1L to 5L) {
+      // 24 docs; ~1/3 are near-copy chains of their predecessor (1-3
+      // appended words → jaccard ≈ 0.92-0.97, chains exercise drops of
+      // docs whose only match was itself dropped)
+      val texts = scala.collection.mutable.ArrayBuffer[(Long, String)]()
+      for (i <- 0 until 24) {
+        val h = Synth.mix2(seed, i.toLong)
+        val t = if (i > 0 && math.floorMod(h, 3) == 0)
+          texts(i - 1)._2 + " " + randText(seed * 100 + i, 1 + math.floorMod(h >> 8, 3).toInt)
+        else randText(seed * 1000 + i, 40)
+        texts += ((i.toLong, t))
+      }
+      val df = texts.toSeq.toDF("doc_id", "text")
+      // one-shot drop rule over the whole corpus, same LSH parameters
+      val dropped = TextPipeline.nearDupPairsFromSigs(
+          TextPipeline.signatureShingles(df, "doc_id", "text", cfg.numPerms, cfg.k),
+          "doc_id", cfg.numPerms, cfg.bands, cfg.threshold)
+        .select("idB").distinct().as[Long].collect().toSet
+      val oneShot = texts.map(_._1).filterNot(dropped.contains).sorted.toSeq
+      // incremental over a seed-dependent 3-way split
+      val cut1 = 4 + math.floorMod(Synth.mix(seed), 8).toInt
+      val cut2 = cut1 + 4 + math.floorMod(Synth.mix(seed + 7L), 8).toInt
+      var store = TextPipeline.signatureShingles(df.limit(0), "doc_id", "text",
+        cfg.numPerms, cfg.k)
+      val surv = scala.collection.mutable.ArrayBuffer[Long]()
+      Seq(texts.take(cut1), texts.slice(cut1, cut2), texts.drop(cut2).toSeq)
+        .filter(_.nonEmpty).foreach { batch =>
+          val (s, sigs) = TextPipeline.incrementalDedup(store,
+            batch.toSeq.toDF("doc_id", "text"), "doc_id", "text", cfg)
+          surv ++= s.select("doc_id").as[Long].collect()
+          store = store.unionByName(sigs)
+        }
+      assert(surv.sorted.toSeq == oneShot, s"seed=$seed cuts=($cut1,$cut2)")
+    }
+  }
 }
