@@ -39,10 +39,7 @@ object SparkEntry {
   /** words: lowercase letter runs, empties dropped (matches TextOps.words). */
   private val wordsSql =
     "list_filter(regexp_split_to_array(lower(text), '[^a-z]+'), w -> w <> '')"
-  private def hitsSql(lang: String): String = {
-    val set = TextOps.stopwords(lang).map(w => s"'$w'").mkString(", ")
-    s"len(list_filter($wordsSql, w -> w IN ($set)))"
-  }
+  private def hitsSql(lang: String): String = hitsSqlOver(wordsSql, lang)
 
   /** Flagship: a full multi-round crawl over the synthetic Common-Crawl-style
     * corpus — frontier scoring, salted politeness rank, fetch join, link
@@ -516,28 +513,30 @@ object SparkEntry {
        |LIMIT 10""".stripMargin
   }
 
-  /** Per-language stopword hits over a precomputed `words` list column. */
-  private def hitsOverWordsSql(lang: String): String = {
+  /** Per-language stopword hits over an arbitrary words-list expression
+    * (a precomputed column name or the inline [[wordsSql]]). */
+  private def hitsSqlOver(words: String, lang: String): String = {
     val set = TextOps.stopwords(lang).map(w => s"'$w'").mkString(", ")
-    s"len(list_filter(words, w -> w IN ($set)))"
+    s"len(list_filter($words, w -> w IN ($set)))"
   }
 
-  /** TextOps.qualityScore over (text, words) columns — identical formula
-    * to the q20 oracle, lifted over a precomputed words list. */
-  private def qualityOverWordsSql: String =
+  /** TextOps.qualityScore as SQL over (text, `words`) — THE single
+    * quality-blend definition shared by the q20 and q41 oracles. */
+  private def qualitySqlOver(words: String): String =
     s"""round(CAST(
        |  (CASE WHEN (CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len(regexp_split_to_array(trim(text), '\\s+')) END) BETWEEN 10 AND 100000 THEN 0.4 ELSE 0.0 END) +
-       |  (CASE WHEN (CASE WHEN len(words) = 0 THEN 0.0 ELSE ${hitsOverWordsSql("en")} * 1.0 / len(words) END) >= 0.05 THEN 0.3 ELSE 0.0 END) +
+       |  (CASE WHEN (CASE WHEN len($words) = 0 THEN 0.0 ELSE ${hitsSqlOver(words, "en")} * 1.0 / len($words) END) >= 0.05 THEN 0.3 ELSE 0.0 END) +
        |  (CASE WHEN (CASE WHEN length(text) = 0 THEN 0.0 ELSE (length(text) - length(regexp_replace(text, '[.,;:!?''"()-]', '', 'g'))) * 1.0 / length(text) END) <= 0.2 THEN 0.2 ELSE 0.0 END) +
-       |  (CASE WHEN (CASE WHEN len(words) = 0 THEN 0.0 ELSE list_sum(list_transform(words, w -> length(w))) * 1.0 / len(words) END) BETWEEN 3.0 AND 10.0 THEN 0.1 ELSE 0.0 END)
+       |  (CASE WHEN (CASE WHEN len($words) = 0 THEN 0.0 ELSE list_sum(list_transform($words, w -> length(w))) * 1.0 / len($words) END) BETWEEN 3.0 AND 10.0 THEN 0.1 ELSE 0.0 END)
        | AS DOUBLE), 1)""".stripMargin
 
-  /** TextOps.langIdFirstMatch over a precomputed words list. */
-  private def langIdOverWordsSql: String =
-    s"""CASE WHEN ${hitsOverWordsSql("en")} >= 2 THEN 'en'
-       |     WHEN ${hitsOverWordsSql("es")} >= 2 THEN 'es'
-       |     WHEN ${hitsOverWordsSql("de")} >= 2 THEN 'de'
-       |     WHEN ${hitsOverWordsSql("fr")} >= 2 THEN 'fr'
+  /** TextOps.langIdFirstMatch as SQL over `words` — shared by the q21 and
+    * q41 oracles. */
+  private def langIdSqlOver(words: String): String =
+    s"""CASE WHEN ${hitsSqlOver(words, "en")} >= 2 THEN 'en'
+       |     WHEN ${hitsSqlOver(words, "es")} >= 2 THEN 'es'
+       |     WHEN ${hitsSqlOver(words, "de")} >= 2 THEN 'de'
+       |     WHEN ${hitsSqlOver(words, "fr")} >= 2 THEN 'fr'
        |     ELSE 'und' END""".stripMargin
 
   /** q41 oracle: the full prep pipeline recomputed in SQL — same planted
@@ -554,7 +553,7 @@ object SparkEntry {
        |  UNION ALL SELECT doc_id + 2000000, text || ' graftnearcopy' FROM d0w
        |    WHERE doc_id % 7 = 0 AND len(words) >= 40
        |  UNION ALL SELECT doc_id + 3000000, repeat('!? ', 20) FROM d0 WHERE doc_id % 11 = 0),
-       |scored AS (SELECT doc_id, text, $qualityOverWordsSql AS q, $langIdOverWordsSql AS l
+       |scored AS (SELECT doc_id, text, ${qualitySqlOver("words")} AS q, ${langIdSqlOver("words")} AS l
        |  FROM (SELECT doc_id, text, $wordsSql AS words FROM d)),
        |flt AS (SELECT doc_id, text FROM scored WHERE q >= 0.65 AND l = 'en'),
        |e AS (SELECT min(doc_id) AS doc_id, arg_min(text, doc_id) AS text FROM flt
@@ -747,21 +746,12 @@ object SparkEntry {
          |   ELSE $hits * 1.0 / len($words) END, 4) AS stopword_ratio,
          | round(CASE WHEN len($words) = 0 THEN 0.0
          |   ELSE list_sum(list_transform($words, w -> length(w))) * 1.0 / len($words) END, 4) AS mean_word_len,
-         | round(CAST(
-         |  (CASE WHEN (CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len(regexp_split_to_array(trim(text), '\\s+')) END) BETWEEN 10 AND 100000 THEN 0.4 ELSE 0.0 END) +
-         |  (CASE WHEN (CASE WHEN len($words) = 0 THEN 0.0 ELSE $hits * 1.0 / len($words) END) >= 0.05 THEN 0.3 ELSE 0.0 END) +
-         |  (CASE WHEN (CASE WHEN length(text) = 0 THEN 0.0 ELSE (length(text) - length(regexp_replace(text, '[.,;:!?''"()-]', '', 'g'))) * 1.0 / length(text) END) <= 0.2 THEN 0.2 ELSE 0.0 END) +
-         |  (CASE WHEN (CASE WHEN len($words) = 0 THEN 0.0 ELSE list_sum(list_transform($words, w -> length(w))) * 1.0 / len($words) END) BETWEEN 3.0 AND 10.0 THEN 0.1 ELSE 0.0 END)
-         | AS DOUBLE), 1) AS quality
+         | ${qualitySqlOver(words)} AS quality
          |FROM documents ORDER BY doc_id""".stripMargin
     },
     "q21_langid" -> {
       s"""SELECT doc_id,
-         | CASE WHEN ${hitsSql("en")} >= 2 THEN 'en'
-         |      WHEN ${hitsSql("es")} >= 2 THEN 'es'
-         |      WHEN ${hitsSql("de")} >= 2 THEN 'de'
-         |      WHEN ${hitsSql("fr")} >= 2 THEN 'fr'
-         |      ELSE 'und' END AS pred_lang
+         | ${langIdSqlOver(wordsSql)} AS pred_lang
          |FROM documents ORDER BY doc_id""".stripMargin
     },
     "q22_fingerprint_dups" ->

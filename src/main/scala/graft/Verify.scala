@@ -15,8 +15,13 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    // GRAFT_ONLY_QUERIES=q41_prep_pipeline,... — dump a subset (dev loop)
+    // GRAFT_ONLY_QUERIES=q41_prep_pipeline,... — dump a subset (dev loop).
+    // Loudly flagged: stale sibling dirs in outDir would otherwise pass a
+    // later oracle replay as if this build had produced them.
     val only = sys.env.get("GRAFT_ONLY_QUERIES").map(_.split(",").toSet)
+    only.foreach(o => System.err.println(
+      s"[verify] SUBSET RUN: ${o.size}/${SparkEntry.queries.size} queries — " +
+        "other dirs in outDir are stale; do not gate on them"))
     SparkEntry.queries.filter(t => only.forall(_.contains(t._1)))
       .foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")

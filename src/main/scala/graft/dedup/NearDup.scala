@@ -60,17 +60,33 @@ object NearDup {
    * `numPerms/bands` rows; each band hashed to a bucket key. One row per
    * (doc, band), ready for the bucket equi-join.
    */
-  def lshBands(docs: DataFrame, idCol: String, textCol: String,
-               numPerms: Int = 32, bands: Int = 8, k: Int = 3): DataFrame = {
+  /** Band buckets from a signature frame holding columns m0…m{numPerms-1}:
+    * one (idCol, band, bucket) row per band. THE single band-hash
+    * definition — every candidate-generation path (one-shot, fused
+    * pipeline, incremental batch-vs-store) must derive buckets here, or
+    * cross-path candidate sets silently diverge. */
+  def bandsFromSigs(sigs: DataFrame, idCol: String,
+                    numPerms: Int, bands: Int): DataFrame = {
     require(numPerms % bands == 0,
       s"numPerms ($numPerms) must divide evenly into bands ($bands) — " +
         "leftover signature columns would be silently dropped")
     val rows = numPerms / bands
-    minhashSignatures(docs, idCol, textCol, numPerms, k)
-      .select(col(idCol), posexplode(array((0 until bands).map { b =>
-        xxhash64((b * rows until (b + 1) * rows).map(i => col(s"m$i")): _*)
-      }: _*)).as(Seq("band", "bucket")))
+    sigs.select(col(idCol), posexplode(array((0 until bands).map { b =>
+      xxhash64((b * rows until (b + 1) * rows).map(i => col(s"m$i")): _*)
+    }: _*)).as(Seq("band", "bucket")))
   }
+
+  /** Exact Jaccard of two shingle-hash-set columns. */
+  def jaccardOfSets(shA: Column, shB: Column): Column = {
+    val inter = size(array_intersect(shA, shB))
+    val uni = size(array_union(shA, shB))
+    when(uni === 0, 0.0).otherwise(inter.cast("double") / uni)
+  }
+
+  def lshBands(docs: DataFrame, idCol: String, textCol: String,
+               numPerms: Int = 32, bands: Int = 8, k: Int = 3): DataFrame =
+    bandsFromSigs(minhashSignatures(docs, idCol, textCol, numPerms, k),
+      idCol, numPerms, bands)
 
   /**
    * MinHash-LSH candidate pairs (idA < idB), deduplicated across bands.

@@ -45,12 +45,14 @@ object TextPipeline {
       overlap: Double = 0.10)
 
   /** Intermediate frames, each derived from the previous stage. `scored`,
-    * `exact` and `survivors` are lazily localCheckpoint'ed: every stat and
-    * every downstream stage re-reads the materialized parent instead of
-    * re-running the cascade (the q38 lesson). */
+    * `exact`, `sigs`, `pairs` and `survivors` are lazily
+    * localCheckpoint'ed: every stat and every downstream stage re-reads
+    * the materialized parent instead of re-running the cascade (the q38
+    * lesson). Carries the config it was built with so [[stats]] cannot
+    * drift from the pipeline it describes. */
   case class PipelineResult(scored: DataFrame, filtered: DataFrame,
                             exact: DataFrame, pairs: DataFrame,
-                            survivors: DataFrame)
+                            survivors: DataFrame, cfg: PipelineConfig)
 
   /**
    * One-pass MinHash signatures + exact shingle sets: explode k-shingle
@@ -75,24 +77,18 @@ object TextPipeline {
   def nearDupPairsFromSigs(sigs: DataFrame, idCol: String,
                            numPerms: Int, bands: Int,
                            threshold: Double): DataFrame = {
-    require(numPerms % bands == 0, s"numPerms ($numPerms) must divide into bands ($bands)")
-    val rows = numPerms / bands
-    val banded = sigs.select(col(idCol).as("id"),
-      posexplode(array((0 until bands).map { b =>
-        xxhash64((b * rows until (b + 1) * rows).map(i => col(s"m$i")): _*)
-      }: _*)).as(Seq("band", "bucket")))
+    val banded = NearDup.bandsFromSigs(sigs, idCol, numPerms, bands)
+      .withColumnRenamed(idCol, "id")
     val cands = banded.select(col("id").as("idA"), col("band"), col("bucket"))
       .join(banded.select(col("id").as("idB"), col("band"), col("bucket")),
         Seq("band", "bucket"))
       .filter(col("idA") < col("idB"))
       .select("idA", "idB").distinct()
     val sets = sigs.select(col(idCol), col("__shSet"))
-    val inter = size(array_intersect(col("shA"), col("shB")))
-    val uni = size(array_union(col("shA"), col("shB")))
     cands
       .join(sets.select(col(idCol).as("idA"), col("__shSet").as("shA")), Seq("idA"))
       .join(sets.select(col(idCol).as("idB"), col("__shSet").as("shB")), Seq("idB"))
-      .withColumn("jaccard", when(uni === 0, 0.0).otherwise(inter.cast("double") / uni))
+      .withColumn("jaccard", NearDup.jaccardOfSets(col("shA"), col("shB")))
       .filter(col("jaccard") >= threshold)
       .select("idA", "idB", "jaccard")
   }
@@ -118,11 +114,17 @@ object TextPipeline {
       .agg(min(struct(col(idCol), text)).as("__s"))
       .select(col(s"__s.$idCol").as(idCol), col(s"__s.$textCol").as(textCol))
       .localCheckpoint(false)
+    // sigs has two consumers (band join + verify-set rehydration) and
+    // pairs has two (survivor anti-join + stats) — checkpoint both so the
+    // shingle aggregate and the LSH join each run exactly once
     val sigs = signatureShingles(exact, idCol, textCol, cfg.numPerms, cfg.k)
+      .localCheckpoint(false)
     val pairs = nearDupPairsFromSigs(sigs, idCol, cfg.numPerms, cfg.bands, cfg.threshold)
+      .localCheckpoint(false)
     val dropIds = pairs.select(col("idB").as(idCol)).distinct()
-    val survivors = exact.join(dropIds, Seq(idCol), "left_anti").localCheckpoint(false)
-    PipelineResult(scored, filtered, exact, pairs, survivors)
+    val survivors = exact.join(broadcast(dropIds), Seq(idCol), "left_anti")
+      .localCheckpoint(false)
+    PipelineResult(scored, filtered, exact, pairs, survivors, cfg)
   }
 
   /**
@@ -158,24 +160,28 @@ object TextPipeline {
     // within-batch pairs: the standalone fused path
     val withinDrops = nearDupPairsFromSigs(newSigs, idCol, cfg.numPerms, cfg.bands,
       cfg.threshold).select(col("idB").as(idCol))
-    // cross pairs: store bands ⋈ broadcast(batch bands)
-    def bands(sigs: DataFrame): DataFrame = {
-      val rows = cfg.numPerms / cfg.bands
-      sigs.select(col(idCol).as("id"),
-        posexplode(array((0 until cfg.bands).map { b =>
-          xxhash64((b * rows until (b + 1) * rows).map(i => col(s"m$i")): _*)
-        }: _*)).as(Seq("band", "bucket")))
-    }
-    val crossCands = bands(storeSigs).select(col("id").as("oldId"), col("band"), col("bucket"))
-      .join(broadcast(bands(newSigs).select(col("id").as("newId"), col("band"), col("bucket"))),
-        Seq("band", "bucket"))
+    // cross pairs: store bands ⋈ broadcast(batch bands) — the ONE shared
+    // band-hash definition (NearDup.bandsFromSigs) keeps candidate sets
+    // identical across the one-shot / fused / incremental paths
+    def bands(sigs: DataFrame, as: String): DataFrame =
+      NearDup.bandsFromSigs(sigs, idCol, cfg.numPerms, cfg.bands)
+        .withColumnRenamed(idCol, as)
+    // oldId < newId enforces the universal "∃ SMALLER-id doc with J ≥ t"
+    // drop rule even if a caller violates the monotone-id-batches
+    // contract (a new doc with a smaller id than a store dup survives,
+    // as one-shot would keep it; the store row itself cannot be
+    // retracted — that half of an out-of-order ingest stays divergent)
+    val crossCands = bands(storeSigs, "oldId")
+      .join(broadcast(bands(newSigs, "newId")), Seq("band", "bucket"))
+      .filter(col("oldId") < col("newId"))
       .select("oldId", "newId").distinct()
-    val inter = size(array_intersect(col("shA"), col("shB")))
-    val uni = size(array_union(col("shA"), col("shB")))
-    val crossDrops = crossCands
-      .join(storeSigs.select(col(idCol).as("oldId"), col("__shSet").as("shA")), Seq("oldId"))
-      .join(newSigs.select(col(idCol).as("newId"), col("__shSet").as("shB")), Seq("newId"))
-      .filter(when(uni === 0, 0.0).otherwise(inter.cast("double") / uni) >= cfg.threshold)
+    // rehydration: broadcast the candidate-bounded sides so the store is
+    // only ever scanned+probed — never shuffled — regardless of AQE
+    val withOldSets = storeSigs.select(col(idCol).as("oldId"), col("__shSet").as("shA"))
+      .join(broadcast(crossCands), Seq("oldId"))
+    val crossDrops = newSigs.select(col(idCol).as("newId"), col("__shSet").as("shB"))
+      .join(broadcast(withOldSets), Seq("newId"))
+      .filter(NearDup.jaccardOfSets(col("shA"), col("shB")) >= cfg.threshold)
       .select(col("newId").as(idCol))
     // drop list ⊆ candidate pairs ≪ batch — always the broadcast side
     val survivors = newDocs.join(
@@ -186,8 +192,8 @@ object TextPipeline {
   /** One-row per-stage accounting over a [[prepare]] result: input size,
     * rows past each gate, verified near-dup pairs, final survivors, and
     * the training-corpus yield (chunks + whitespace tokens). */
-  def stats(r: PipelineResult, textCol: String,
-            cfg: PipelineConfig = PipelineConfig()): DataFrame = {
+  def stats(r: PipelineResult, textCol: String): DataFrame = {
+    val cfg = r.cfg // always the config the pipeline actually ran with
     // conditional aggregation: ONE pass over each checkpointed parent
     // (input gates, survivors) instead of one job per counter
     val gateCounts = r.scored.agg(

@@ -270,7 +270,10 @@ class OperatorSpec extends SparkTestBase {
       nProbe = 3, cents)
     assert(ivfDisk.select("vec_id").as[Long].collect().toSeq == ivf.toSeq)
     val scan = ivfDisk.queryExecution.executedPlan.toString
-    assert(scan.contains("PartitionFilters") && scan.contains("centroid"),
+    // the centroid filter must be INSIDE the PartitionFilters bracket —
+    // a post-scan Filter would leave "PartitionFilters: []" and still
+    // contain both substrings
+    assert("PartitionFilters: \\[[^\\]]*centroid".r.findFirstIn(scan).isDefined,
       s"expected centroid partition pruning on the index scan:\n$scan")
   }
 
