@@ -267,6 +267,16 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "q43_winnow_pairs" -> ((s, dir) => { // rolling k-gram winnowing fingerprints
+      // Schleimer et al. 2003 winnowing: k=8 char grams, window w=4,
+      // near-dup = fingerprint containment >= 0.5 of the smaller side.
+      // The DuckDB oracle recomputes the identical md5-60bit gram hashes,
+      // window minima and containment join — a hard equality check.
+      NearDup.winnowPairs(T(s, dir, "documents").select("doc_id", "text"),
+          "doc_id", "text", k = 8, w = 4, minFrac = 0.5)
+        .orderBy("idA", "idB")
+    }),
+
     // ---- similarity search over embeddings ----
     "q28_ann_topk" -> ((s, dir) => { // brute-force exact cosine top-k
       val vecs = T(s, dir, "embeddings")
@@ -639,6 +649,27 @@ object SparkEntry {
          |  round(len(list_intersect(a.s, b.s)) * 1.0 / len(list_distinct(list_concat(a.s, b.s))), 4) AS jac
          |FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1
          |ORDER BY doc_id""".stripMargin,
+    "q43_winnow_pairs" ->
+      """WITH d AS (SELECT doc_id, regexp_replace(lower(text), '[^a-z0-9]', '', 'g') AS nrm
+        |           FROM documents),
+        |g AS (SELECT doc_id,
+        |    CASE WHEN len(nrm) < 8 THEN [CAST('0x'||substring(md5(nrm),1,15) AS BIGINT)]
+        |    ELSE list_transform(range(1, len(nrm) - 6), p ->
+        |      CAST('0x'||substring(md5(substring(nrm, p, 8)),1,15) AS BIGINT)) END AS hs
+        |  FROM d),
+        |f AS (SELECT doc_id,
+        |    list_distinct(CASE WHEN len(hs) < 4 THEN [list_aggregate(hs, 'min')]
+        |    ELSE list_transform(range(1, len(hs) - 2), i ->
+        |      list_aggregate(hs[i:i+3], 'min')) END) AS fps
+        |  FROM g),
+        |e AS (SELECT doc_id, len(fps) AS nfp, unnest(fps) AS fp FROM f),
+        |p AS (SELECT a.doc_id AS idA, b.doc_id AS idB,
+        |    CAST(count(*) AS BIGINT) AS shared,
+        |    count(*)::DOUBLE / least(any_value(a.nfp), any_value(b.nfp)) AS frac
+        |  FROM e a JOIN e b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT idA, idB, shared, round(frac, 4) AS frac FROM p
+        |WHERE frac >= 0.5 ORDER BY idA, idB""".stripMargin,
     "q29_ann_lsh" -> q29OracleSql,
     "q30_embedding_neardup" ->
       """WITH v0 AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),

@@ -144,6 +144,89 @@ object NearDup {
     docs.join(dups, Seq(idCol), "left_anti")
   }
 
+  // ---- Winnowing (rolling k-gram fingerprints) ----
+
+  /** Let-binding for column expressions: evaluates `value` exactly ONCE per
+    * row and exposes it to `body` as a lambda variable. Without this, every
+    * reference to a subexpression inside a single projection re-evaluates
+    * it after CollapseProject — fatal for the O(|text|)-cost gram arrays
+    * below, which are referenced once per sliding window. */
+  private def bindOnce(value: Column)(body: Column => Column): Column =
+    element_at(transform(array(value), body), 1)
+
+  /**
+   * Winnowed rolling k-gram document fingerprints (Schleimer, Wilkerson,
+   * Aiken, "Winnowing: Local Algorithms for Document Fingerprinting",
+   * SIGMOD 2003 — the MOSS scheme). The text is normalized to its
+   * lowercase alphanumeric character stream, every k-char gram is hashed
+   * ([[md5TokenHash]], engine-portable so the driver's DuckDB oracle can
+   * recompute it), and each window of `w` consecutive gram hashes
+   * contributes its minimum; the distinct selected values are the
+   * document's fingerprint set (sorted for determinism).
+   *
+   * Guarantee (the paper's Thm. 1, by value set): two documents sharing a
+   * normalized substring of length ≥ w + k - 1 share ≥ 1 fingerprint; no
+   * shared substring shorter than k is ever detected. Texts shorter than
+   * k fingerprint the whole normalized stream.
+   *
+   * Scale: pure narrow column expressions — per-row cost O(|text|·w), no
+   * shuffle, no UDF; each doc keeps ≈ 2/(w+1) of its grams, so the
+   * downstream fingerprint join is over a w-fold-compressed set.
+   */
+  def winnowFingerprints(text: Column, k: Int = 8, w: Int = 4): Column = {
+    require(k >= 2, s"k=$k: grams need at least 2 chars")
+    require(w >= 1, s"w=$w: the winnow window must hold at least 1 gram")
+    val norm = regexp_replace(lower(text), "[^a-z0-9]", "")
+    bindOnce(norm) { nrm =>
+      val grams = transform(sequence(lit(1), length(nrm) - (k - 1)),
+        p => md5TokenHash(nrm.substr(p, lit(k))))
+      array_sort(array_distinct(
+        when(length(nrm) < k, array(md5TokenHash(nrm)))
+          .otherwise(bindOnce(grams) { g =>
+            when(size(g) < w, array(array_min(g)))
+              .otherwise(transform(sequence(lit(1), size(g) - (w - 1)),
+                i => array_min(slice(g, i, lit(w)))))
+          })))
+    }
+  }
+
+  /**
+   * Near-dup pairs by winnowed-fingerprint containment: docs sharing a
+   * fraction ≥ `minFrac` of the smaller side's fingerprints —
+   * `shared / min(|fpA|, |fpB|)`, scale-invariant across document lengths.
+   * Candidate generation is an equi-join on the fingerprint value (never
+   * all-pairs). `maxDocFreq` is the skew guard for 100 TB: a boilerplate
+   * gram (site chrome, license headers) appearing in millions of docs
+   * would make its fingerprint bucket quadratic — fingerprints with
+   * document frequency above the cap are dropped from candidates AND from
+   * the per-doc denominators (containment is then w.r.t. retained
+   * fingerprints on both sides, keeping the fraction consistent).
+   * Output: (idA, idB, shared, frac) with idA < idB.
+   */
+  def winnowPairs(docs: DataFrame, idCol: String, textCol: String,
+                  k: Int = 8, w: Int = 4, minFrac: Double = 0.5,
+                  maxDocFreq: Long = Long.MaxValue): DataFrame = {
+    val exploded = docs.select(col(idCol).as("doc_id"),
+      explode(winnowFingerprints(col(textCol), k, w)).as("fp"))
+      .localCheckpoint(false) // reused 3×: sizes + both join sides
+    val kept =
+      if (maxDocFreq == Long.MaxValue) exploded
+      else exploded.join(
+        exploded.groupBy("fp").agg(count("*").as("__df"))
+          .filter(col("__df") > maxDocFreq).select("fp"),
+        Seq("fp"), "left_anti")
+    val sizes = kept.groupBy("doc_id").agg(count("*").as("nfp"))
+    kept.select(col("doc_id").as("idA"), col("fp"))
+      .join(kept.select(col("doc_id").as("idB"), col("fp")), Seq("fp"))
+      .filter(col("idA") < col("idB"))
+      .groupBy("idA", "idB").agg(count("*").as("shared"))
+      .join(sizes.select(col("doc_id").as("idA"), col("nfp").as("__nA")), Seq("idA"))
+      .join(sizes.select(col("doc_id").as("idB"), col("nfp").as("__nB")), Seq("idB"))
+      .withColumn("frac", col("shared").cast("double") / least(col("__nA"), col("__nB")))
+      .filter(col("frac") >= minFrac)
+      .select(col("idA"), col("idB"), col("shared"), round(col("frac"), 4).as("frac"))
+  }
+
   // ---- SimHash ----
 
   /**

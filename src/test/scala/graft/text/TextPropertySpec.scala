@@ -65,6 +65,54 @@ class TextPropertySpec extends SparkTestBase {
     assert(s1.values.forall(_.length == 16))
   }
 
+  test("winnowing: substring guarantee, normalization invariance, disjoint texts") {
+    val t = 8 + 4 - 1 // guarantee threshold w + k - 1
+    val sharedRun = "q9z7x2k8v4w"
+    assert(sharedRun.length == t)
+    val docs = Seq(
+      (1L, s"alpha bravo $sharedRun charlie delta"),
+      (2L, s"echo foxtrot golf $sharedRun hotel"),
+      (3L, "india juliet kilo lima mike november"),
+      (4L, "INDIA,  juliet?? kilo (lima) MIKE november!!")) // 3 reformatted
+    val fps = docs.toDF("id", "text")
+      .select($"id", NearDup.winnowFingerprints($"text").as("fps"))
+      .as[(Long, Seq[Long])].collect().toMap
+    assert(fps(1).intersect(fps(2)).nonEmpty) // >= (w+k-1)-char run detected
+    assert(fps(1).intersect(fps(3)).isEmpty)  // no shared 8-char substring
+    assert(fps(3) == fps(4))                  // same normalized char stream
+    assert(fps(1).toSet.size == fps(1).size && fps(1) == fps(1).sorted)
+  }
+
+  test("winnowing: texts shorter than k fingerprint the whole stream") {
+    val fps = Seq((1L, "ab!"), (2L, "AB"), (3L, ""))
+      .toDF("id", "text")
+      .select($"id", NearDup.winnowFingerprints($"text").as("fps"))
+      .as[(Long, Seq[Long])].collect().toMap
+    assert(fps(1) == fps(2)) // both normalize to "ab"
+    assert(fps(1).length == 1 && fps(3).length == 1)
+  }
+
+  test("winnowPairs: planted near-dup found; df-cap drops boilerplate-only pairs") {
+    val base = randText(7L, 60)
+    val nearDup = base + " extra tail words appended"
+    val boiler = " copyright acme corp all rights reserved"
+    val docs = (1L to 20L).map(i => (i, randText(i * 31, 40) + boiler)) ++
+      Seq((100L, base + boiler), (101L, nearDup + boiler))
+    val df = docs.toDF("doc_id", "text")
+    // low threshold: unrelated docs pair through shared boilerplate grams
+    val loose = NearDup.winnowPairs(df, "doc_id", "text", minFrac = 0.1)
+      .as[(Long, Long, Long, Double)].collect()
+    assert(loose.exists(p => p._1 == 100L && p._2 == 101L && p._4 >= 0.5))
+    assert(loose.exists(p => p._1 < 100L && p._2 < 100L)) // boilerplate pairs
+    // capping fingerprint document-frequency removes the boilerplate
+    // buckets entirely: only the genuine near-dup family remains
+    val capped = NearDup.winnowPairs(df, "doc_id", "text", minFrac = 0.1,
+        maxDocFreq = 5)
+      .as[(Long, Long, Long, Double)].collect()
+    assert(capped.exists(p => p._1 == 100L && p._2 == 101L))
+    assert(capped.forall(p => p._1 >= 100L))
+  }
+
   test("simhash: permuting word order changes hash little; disjoint texts differ") {
     val base = randText(7L, 60)
     val shuffled = base.split(" ").reverse.mkString(" ")
