@@ -10,9 +10,9 @@ import graft.frontier.{Crawler, CrawlRound}
 import graft.extract.{Classify, Dedup, FacilityExtract, Validation}
 import graft.functions.UrlPredicates
 import graft.sources.Sitemap
-import graft.text.{Chunker, TextOps, TextPipeline}
+import graft.text.{Chunker, Decontaminate, Pii, Repetition, TextOps, TextPipeline}
 import graft.dedup.NearDup
-import graft.ann.Similarity
+import graft.ann.{SemDedup, Similarity}
 import graft.multimodal.MediaOps
 
 /**
@@ -470,6 +470,69 @@ object SparkEntry {
       s1.agg(count("*").as("n_batch1_survivors"))
         .crossJoin(s2.agg(count("*").as("n_batch2_survivors")))
         .crossJoin(sig1.unionByName(sig2).agg(count("*").as("n_processed")))
+    }),
+
+    "q44_repetition" -> ((s, dir) => // Gopher repetition filters (word-gram char fracs)
+      Repetition.metrics(T(s, dir, "documents").select("doc_id", "text"),
+          "doc_id", "text")
+        .orderBy("doc_id")),
+
+    "q45_pii" -> ((s, dir) => { // PII detect + redact (injected deterministically)
+      // The sf corpus is PII-free word salad, so PII is planted from
+      // doc_id by IDENTICAL string construction in Spark and the DuckDB
+      // oracle — the green row then hard-verifies the detection counts
+      // and the byte-exact redacted text (via md5), not the injection.
+      val t = concat(col("text"),
+        when(pmod(col("doc_id"), lit(3)) === 0, concat(
+          lit(" reach user"), col("doc_id").cast("string"),
+          lit("@mail.example.org"))).otherwise(lit("")),
+        when(pmod(col("doc_id"), lit(4)) === 0, concat(
+          lit(" call 555-"), lpad(pmod(col("doc_id"), lit(1000)).cast("string"), 3, "0"),
+          lit("-"), lpad(pmod(col("doc_id") * 7, lit(10000)).cast("string"), 4, "0"))).otherwise(lit("")),
+        when(pmod(col("doc_id"), lit(5)) === 0, concat(
+          lit(" ssn "), lpad(pmod(col("doc_id"), lit(1000)).cast("string"), 3, "0"),
+          lit("-"), lpad(pmod(col("doc_id"), lit(100)).cast("string"), 2, "0"),
+          lit("-"), lpad(pmod(col("doc_id") * 3, lit(10000)).cast("string"), 4, "0"))).otherwise(lit("")),
+        when(pmod(col("doc_id"), lit(7)) === 0, concat(
+          lit(" from 10."), pmod(col("doc_id"), lit(256)).cast("string"),
+          lit("."), pmod(col("doc_id") * 3, lit(256)).cast("string"), lit(".77"))).otherwise(lit("")))
+      T(s, dir, "documents").select(col("doc_id"), t.as("text"))
+        .select(col("doc_id"),
+          Pii.count(col("text"), "email").as("n_email"),
+          Pii.count(col("text"), "ssn").as("n_ssn"),
+          Pii.count(col("text"), "phone").as("n_phone"),
+          Pii.count(col("text"), "ip").as("n_ip"),
+          md5(Pii.redact(col("text")).cast("binary")).as("redacted_md5"))
+        .orderBy("doc_id")
+    }),
+
+    "q46_decontaminate" -> ((s, dir) => { // benchmark n-gram decontamination
+      // bench = every 10th doc (an "eval set" carved from the corpus);
+      // train = the rest. n=3 (not the production 13) because the ~30-word
+      // synthetic vocab is what makes 3-gram collisions informative here.
+      val d = T(s, dir, "documents").select("doc_id", "text")
+      Decontaminate.contaminated(
+          d.filter(pmod(col("doc_id"), lit(10)) =!= 7), "doc_id", "text",
+          d.filter(pmod(col("doc_id"), lit(10)) === 7), "text", n = 3)
+        .orderBy("doc_id")
+    }),
+
+    "q47_semdedup" -> ((s, dir) => { // SemDeDup: k-means cluster + cosine drop
+      val vecs = T(s, dir, "embeddings").select("vec_id", "embedding")
+      // planted exact dups (+1M, cos = 1) and near-dups (+2M, last
+      // coordinate shifted +0.1 on a ~unit-norm vector → cos ≈ 0.99);
+      // the natural corpus has no pairs above 0.52, so every drop is a
+      // plant and both the cos=1 and cos<1 paths are exercised
+      val withCopies = vecs
+        .unionByName(vecs.withColumn("vec_id", col("vec_id") + 1000000L))
+        .unionByName(vecs.filter(pmod(col("vec_id"), lit(5)) === 0)
+          .select((col("vec_id") + 2000000L).as("vec_id"),
+            concat(slice(col("embedding"), 1, 63),
+              array(element_at(col("embedding"), 64) + lit(0.1f))).as("embedding")))
+      SemDedup.dropped(withCopies, "vec_id", "embedding", k = 16, tau = 0.96)
+        .select(col("id").as("vec_id"), col("dup_of"),
+          round(col("max_cos"), 4).as("max_cos"))
+        .orderBy("vec_id")
     })
   )
 
@@ -614,6 +677,61 @@ object SparkEntry {
        | (SELECT count(*) FROM s WHERE doc_id >= 2000000) AS n_batch2_survivors,
        | (SELECT count(*) FROM d) AS n_processed""".stripMargin
 
+  /** q44 oracle: the Gopher repetition fractions recomputed in SQL —
+    * identical word split, gram construction, char accounting, and the
+    * same (count, gram-chars, gram) most-frequent tie-break (monotone in
+    * length(gram) vs gram-chars = length-1, so the orders agree). */
+  private def q44OracleSql: String =
+    s"""WITH w AS (SELECT doc_id, $wordsSql AS words FROM documents),
+       |b AS (SELECT doc_id, coalesce(list_sum(list_transform(words, x -> length(x))), 0) AS tot FROM w),
+       |g2 AS (SELECT doc_id, array_to_string(words[i:i+1], ' ') AS gram
+       |  FROM w, unnest(range(1, len(words))) AS t(i)),
+       |c2 AS (SELECT doc_id, gram, count(*) AS cnt FROM g2 GROUP BY 1, 2),
+       |t2 AS (SELECT doc_id, cnt, length(gram) - 1 AS gc FROM (
+       |    SELECT doc_id, gram, cnt, row_number() OVER (
+       |      PARTITION BY doc_id ORDER BY cnt DESC, length(gram) DESC, gram DESC) AS rn
+       |    FROM c2) WHERE rn = 1),
+       |g5 AS (SELECT doc_id, array_to_string(words[i:i+4], ' ') AS gram
+       |  FROM w, unnest(range(1, len(words) - 3)) AS t(i)),
+       |c5 AS (SELECT doc_id, sum((cnt - 1) * (length(gram) - 4)) AS dup FROM (
+       |    SELECT doc_id, gram, count(*) AS cnt FROM g5 GROUP BY 1, 2) x
+       |  WHERE cnt > 1 GROUP BY doc_id),
+       |m AS (SELECT b.doc_id,
+       |   round(coalesce(CASE WHEN b.tot > 0 THEN t2.cnt * t2.gc * 1.0 / b.tot END, 0), 4) AS top2_char_frac,
+       |   round(coalesce(CASE WHEN b.tot > 0 THEN c5.dup * 1.0 / b.tot END, 0), 4) AS dup5_char_frac
+       | FROM b LEFT JOIN t2 USING (doc_id) LEFT JOIN c5 USING (doc_id))
+       |SELECT doc_id, top2_char_frac, dup5_char_frac,
+       |  (top2_char_frac > 0.20 OR dup5_char_frac > 0.15) AS repetitive
+       |FROM m ORDER BY doc_id""".stripMargin
+
+  /** q45 oracle: IDENTICAL PII injection (from doc_id), then counts and
+    * redaction with the IDENTICAL pattern strings ([[Pii.patterns]] is
+    * interpolated here, so the two engines cannot drift) — DuckDB needs
+    * the explicit 'g' flag Spark's regexp_replace implies. */
+  private def q45OracleSql: String = {
+    val counts = Seq("email" -> "n_email", "ssn" -> "n_ssn",
+      "phone" -> "n_phone", "ip" -> "n_ip").map { case (nm, alias) =>
+      val re = Pii.patterns.find(_._1 == nm).get._2
+      s"CAST(len(regexp_extract_all(text, '$re')) AS BIGINT) AS $alias"
+    }.mkString(",\n ")
+    val redacted = Pii.patterns.foldLeft("text") { case (t, (_, re, tok)) =>
+      s"regexp_replace($t, '$re', '$tok', 'g')"
+    }
+    s"""WITH d AS (SELECT doc_id, concat(text,
+       |  CASE WHEN doc_id % 3 = 0 THEN concat(' reach user', doc_id, '@mail.example.org') ELSE '' END,
+       |  CASE WHEN doc_id % 4 = 0 THEN concat(' call 555-', lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0'),
+       |    '-', lpad(CAST(doc_id * 7 % 10000 AS VARCHAR), 4, '0')) ELSE '' END,
+       |  CASE WHEN doc_id % 5 = 0 THEN concat(' ssn ', lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0'),
+       |    '-', lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0'),
+       |    '-', lpad(CAST(doc_id * 3 % 10000 AS VARCHAR), 4, '0')) ELSE '' END,
+       |  CASE WHEN doc_id % 7 = 0 THEN concat(' from 10.', doc_id % 256, '.', doc_id * 3 % 256, '.77') ELSE '' END
+       |) AS text FROM documents)
+       |SELECT doc_id,
+       | $counts,
+       | md5($redacted) AS redacted_md5
+       |FROM d ORDER BY doc_id""".stripMargin
+  }
+
   /** Golden-fixture oracle (see [[GenDriverFixtures]]): the query has no
     * sf-table input (deterministic synthetic corpus + custom expressions
     * DuckDB cannot evaluate), so its once-pinned result parquet IS the
@@ -626,9 +744,21 @@ object SparkEntry {
     "q33_extract_facilities" -> fixtureOracle("q33_extract_facilities"),
     "q34_media_features" -> fixtureOracle("q34_media_features"),
     "q38_validation" -> fixtureOracle("q38_validation"),
-    // q40 reads the sf embeddings table; its fixture is pinned at sf0.01
-    // (the correctness gate's scale) — k-means is not SQL-expressible
+    // q40/q47 read the sf embeddings table; their fixtures are pinned at
+    // sf0.01 (the correctness gate's scale) — k-means is not SQL-expressible
     "q40_ann_ivf" -> fixtureOracle("q40_ann_ivf"),
+    "q47_semdedup" -> fixtureOracle("q47_semdedup"),
+    "q44_repetition" -> q44OracleSql,
+    "q45_pii" -> q45OracleSql,
+    "q46_decontaminate" ->
+      s"""WITH w AS (SELECT doc_id, $wordsSql AS words FROM documents),
+         |g AS (SELECT doc_id, list_distinct(list_transform(range(1, len(words) - 1),
+         |    i -> array_to_string(words[i:i+2], ' '))) AS gs FROM w),
+         |bench AS (SELECT DISTINCT unnest(gs) AS gram FROM g WHERE doc_id % 10 = 7),
+         |tr AS (SELECT doc_id, unnest(gs) AS gram FROM g WHERE doc_id % 10 <> 7)
+         |SELECT doc_id, count(*) AS n_hits
+         |FROM tr JOIN bench USING (gram)
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q25_minhash_neardup" ->
       s"""WITH d0 AS (SELECT doc_id, text FROM documents ORDER BY doc_id LIMIT 1500),
          |d AS (SELECT doc_id, text FROM d0 UNION ALL SELECT doc_id + 1000000, text FROM d0),

@@ -1,0 +1,49 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Benchmark decontamination: drop training documents that share a word
+ * n-gram with an evaluation/benchmark set — the GPT-3 appendix-C /
+ * Dolma-style overlap rule (13-grams at production scale; n is a
+ * parameter because signal at a given corpus size depends on vocabulary).
+ *
+ * Scale shape: the benchmark side is ALWAYS small relative to the corpus
+ * (an eval set, not another corpus), so its distinct gram set is
+ * broadcast and the 100-TB training side is a scan + broadcast semi-join
+ * probe — the training corpus never shuffles and no gram string leaves
+ * its scan task. `array_distinct` before the explode keeps per-doc gram
+ * duplicates out of the join, so `n_hits` counts DISTINCT shared grams.
+ */
+object Decontaminate {
+
+  /** Word n-grams of `textCol`, distinct, as an array column. Docs with
+    * fewer than n words yield an empty array. */
+  def ngramSet(textCol: Column, n: Int): Column = {
+    val ws = TextOps.words(textCol)
+    val g = array_distinct(transform(sequence(lit(1), size(ws) - (n - 1)),
+      i => array_join(slice(ws, i, lit(n)), " ")))
+    when(size(ws) >= n, g).otherwise(array().cast("array<string>"))
+  }
+
+  /** Distinct benchmark grams — the (small) broadcast side. */
+  def benchGrams(bench: DataFrame, textCol: String, n: Int): DataFrame =
+    bench.select(explode(ngramSet(col(textCol), n)).as("gram")).distinct()
+
+  /** Training docs sharing ≥1 n-gram with the benchmark:
+    * (id, n_hits = distinct shared grams). */
+  def contaminated(train: DataFrame, idCol: String, textCol: String,
+                   bench: DataFrame, benchTextCol: String, n: Int): DataFrame =
+    train
+      .select(col(idCol), explode(ngramSet(col(textCol), n)).as("gram"))
+      .join(broadcast(benchGrams(bench, benchTextCol, n)), Seq("gram"), "left_semi")
+      .groupBy(idCol).agg(count("*").as("n_hits"))
+
+  /** The decontaminated corpus: training docs with zero benchmark overlap. */
+  def clean(train: DataFrame, idCol: String, textCol: String,
+            bench: DataFrame, benchTextCol: String, n: Int): DataFrame =
+    train.join(
+      contaminated(train, idCol, textCol, bench, benchTextCol, n).select(idCol),
+      Seq(idCol), "left_anti")
+}

@@ -1,0 +1,134 @@
+package graft.text
+
+import graft.SparkTestBase
+import graft.ann.SemDedup
+import org.apache.spark.sql.functions._
+
+/**
+ * Training-data-prep operators added round 2: Gopher repetition filters,
+ * PII detect/redact, benchmark decontamination, SemDeDup. Hand-computed
+ * expectations on planted corpora (the driver gate cross-checks the same
+ * ops against DuckDB / a pinned fixture at sf0.01).
+ */
+class PrepOpsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  // ---------- Repetition (Gopher §A1.1) ----------
+
+  test("repetition: hand-computed top2/dup5 char fractions") {
+    val docs = Seq(
+      (1L, "a b a b a b"), // top 2-gram "a b" x3 of 5 grams; 6 word chars
+      (2L, "one two three four five one two three four five"),
+      (3L, "all unique words here now truly and forever more ok extra pad words again differ"),
+      (4L, ""), // no words at all
+      (5L, "single")).toDF("doc_id", "text")
+    val m = Repetition.metrics(docs, "doc_id", "text")
+      .orderBy("doc_id")
+      .select("doc_id", "top2_char_frac", "dup5_char_frac", "repetitive")
+      .as[(Long, Double, Double, Boolean)].collect()
+    // doc 1: "a b" cnt=3, gramChars=2 → 6/6 = 1.0; no duplicate 5-gram
+    assert(m(0) == ((1L, 1.0, 0.0, true)))
+    // doc 2: four 2-grams tie at cnt=2; the (cnt, gramChars, gram)
+    // tie-break picks "three four" (9 chars) → 2*9/38 = 0.4737;
+    // dup 5-gram "one two three four five" once extra → 19/38 = 0.5
+    assert(m(1) == ((2L, 0.4737, 0.5, true)))
+    // doc 3: every gram unique → top2 = one occurrence
+    assert(m(2)._3 == 0.0 && !m(2)._4)
+    assert(m(3) == ((4L, 0.0, 0.0, false)))
+    assert(m(4) == ((5L, 0.0, 0.0, false)))
+    val kept = Repetition.filterRepetitive(docs, "doc_id", "text")
+      .select("doc_id").as[Long].collect().sorted
+    assert(kept.toSeq == Seq(3L, 4L, 5L))
+  }
+
+  // ---------- PII ----------
+
+  test("pii: counts, byte-exact redaction, pattern disjointness") {
+    val t = "mail a@b.co or x.y_z%2+w@sub.domain.org call 555-123-4567 " +
+      "ssn 123-45-6789 ip 10.0.0.1 end"
+    val row = Seq(t).toDF("text").select(
+      Pii.count($"text", "email").as("e"), Pii.count($"text", "ssn").as("s"),
+      Pii.count($"text", "phone").as("p"), Pii.count($"text", "ip").as("i"),
+      Pii.redact($"text").as("r"), Pii.hasPii($"text").as("h"))
+      .as[(Long, Long, Long, Long, String, Boolean)].head()
+    assert(row._1 == 2 && row._2 == 1 && row._3 == 1 && row._4 == 1 && row._6)
+    assert(row._5 == "mail <EMAIL> or <EMAIL> call <PHONE> ssn <SSN> ip <IP> end")
+  }
+
+  test("pii: no false positives on clean text and digit runs") {
+    val rows = Seq(
+      "just words no identifiers at all",
+      "order 1234-567-8901 is not a phone (boundary check)",
+      "version 1.2.3 is not an ip").toDF("text")
+      .select(Pii.hasPii($"text")).as[Boolean].collect()
+    assert(rows.forall(_ == false))
+    // ssn is redacted before phone can see its digits; 3-2-4 never
+    // matches the 3-3-4 phone pattern
+    val ssnOnly = Seq("123-45-6789").toDF("text")
+      .select(Pii.count($"text", "phone"), Pii.redact($"text"))
+      .as[(Long, String)].head()
+    assert(ssnOnly._1 == 0 && ssnOnly._2 == "<SSN>")
+  }
+
+  // ---------- Decontamination ----------
+
+  test("decontaminate: distinct shared n-grams; clean() drops hits only") {
+    val bench = Seq((100L, "the quick brown fox jumps")).toDF("doc_id", "text")
+    val train = Seq(
+      (1L, "a tale of the quick brown fox and the quick brown cat"), // 2 distinct shared 3-grams
+      (2L, "the quick brown the quick brown"), // repeated shared gram counts once... plus wrap grams
+      (3L, "totally unrelated text with zero overlap whatsoever")).toDF("doc_id", "text")
+    val hits = Decontaminate.contaminated(train, "doc_id", "text", bench, "text", n = 3)
+      .orderBy("doc_id").as[(Long, Long)].collect().toSeq
+    // doc 1 shares "the quick brown" + "quick brown fox"; doc 2 shares
+    // "the quick brown" (once, distinct) — its other 3-grams ("quick
+    // brown the", "brown the quick") are not benchmark grams
+    assert(hits == Seq((1L, 2L), (2L, 1L)))
+    val kept = Decontaminate.clean(train, "doc_id", "text", bench, "text", n = 3)
+      .select("doc_id").as[Long].collect().toSeq
+    assert(kept == Seq(3L))
+  }
+
+  test("decontaminate: docs shorter than n grams never match") {
+    val bench = Seq((1L, "a b c")).toDF("doc_id", "text")
+    val train = Seq((2L, "a b"), (3L, "")).toDF("doc_id", "text")
+    assert(Decontaminate.contaminated(train, "doc_id", "text", bench, "text", 3).count() == 0)
+    assert(Decontaminate.clean(train, "doc_id", "text", bench, "text", 3).count() == 2)
+  }
+
+  // ---------- SemDeDup ----------
+
+  test("semdedup: planted dups dropped, survivors partition the corpus, deterministic") {
+    val base = (0L until 120L).map { i =>
+      (i, Array.tabulate(16)(d => (graft.synth.Synth.mix2(i, d.toLong) % 1000).toFloat / 1000f))
+    }
+    val withDups = (base ++ base.map { case (i, v) => (i + 1000L, v) }) // exact copies
+      .toDF("vec_id", "embedding")
+    val dropped = SemDedup.dropped(withDups, "vec_id", "embedding", k = 8, tau = 0.999)
+    val droppedIds = dropped.select("id").as[Long].collect().toSet
+    // every exact copy has its original (same cluster: identical vector)
+    assert((1000L until 1120L).forall(droppedIds.contains))
+    val pairs = dropped.filter($"id" >= 1000L)
+      .select("id", "dup_of", "max_cos").as[(Long, Long, Double)].collect()
+    assert(pairs.forall { case (id, dupOf, c) => dupOf == id - 1000L && c > 0.9999 })
+    val survivors = SemDedup.survivors(withDups, "vec_id", "embedding", k = 8, tau = 0.999)
+      .select("vec_id").as[Long].collect().toSet
+    assert(survivors.intersect(droppedIds).isEmpty)
+    assert(survivors.size + droppedIds.size == 240)
+    // determinism across partitionings (the repo's never-arbitrary-row rule)
+    val dropped2 = SemDedup.dropped(withDups.repartition(7), "vec_id", "embedding",
+      k = 8, tau = 0.999).select("id").as[Long].collect().toSet
+    assert(dropped2 == droppedIds)
+  }
+
+  test("semdedup: cluster cap bounds the quadratic block deterministically") {
+    val vecs = (0L until 50L).map(i => (i, Array.fill(8)(1.0f)))
+      .toDF("vec_id", "embedding") // all identical → ONE cluster
+    val cents = graft.ann.Similarity.ivfCentroids(vecs, "vec_id", "embedding", 2, iters = 1)
+    val assigned = graft.ann.Similarity.ivfAssign(vecs, "vec_id", "embedding", cents)
+    val dropped = SemDedup.droppedPairs(assigned, "vec_id", "embedding",
+      tau = 0.99, maxClusterSize = 10)
+    // min-id rows survive the cap: ids 1..9 dropped against 0; 10+ truncated
+    assert(dropped.select("id").as[Long].collect().toSet == (1L until 10L).toSet)
+  }
+}
