@@ -11,7 +11,7 @@ import graft.extract.{Classify, Dedup, FacilityExtract, Validation}
 import graft.functions.UrlPredicates
 import graft.sources.Sitemap
 import graft.text.{Chunker, Decontaminate, Pii, Repetition, TextOps, TextPipeline}
-import graft.dedup.NearDup
+import graft.dedup.{DupClusters, NearDup}
 import graft.ann.{SemDedup, Similarity}
 import graft.multimodal.MediaOps
 
@@ -533,6 +533,25 @@ object SparkEntry {
         .select(col("id").as("vec_id"), col("dup_of"),
           round(col("max_cos"), 4).as("max_cos"))
         .orderBy("vec_id")
+    }),
+
+    "q48_dup_clusters" -> ((s, dir) => { // transitive dup clusters (CC over pairs)
+      // THREE copies of each doc → every base doc seeds a 3-clique
+      // {i, i+1M, i+2M}; natural jaccard-≥0.8 pairs then merge cliques,
+      // so components are only reachable transitively (i+2M ~ j+1M holds
+      // only through the graph). Same LSH params as q25 — recall gap
+      // below the all-pairs oracle's resolution (see q25's analysis).
+      val docs = T(s, dir, "documents").select("doc_id", "text")
+        .orderBy("doc_id").limit(1000)
+        .repartition(col("doc_id"))
+      val withCopies = docs
+        .unionByName(docs.withColumn("doc_id", col("doc_id") + 1000000L))
+        .unionByName(docs.withColumn("doc_id", col("doc_id") + 2000000L))
+      val edges = NearDup.nearDupPairs(withCopies, "doc_id", "text",
+        threshold = 0.8, numPerms = 64, bands = 16, k = 5)
+      DupClusters.components(edges)
+        .select(col("id").as("doc_id"), col("component"))
+        .orderBy("doc_id")
     })
   )
 
@@ -759,6 +778,28 @@ object SparkEntry {
          |SELECT doc_id, count(*) AS n_hits
          |FROM tr JOIN bench USING (gram)
          |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // q48 oracle: identical 3-copy corpus and all-pairs exact-jaccard
+    // edge set (the q25 recall argument), then min-label reachability via
+    // a recursive CTE — UNION dedup bounds the recursion at the closure
+    "q48_dup_clusters" ->
+      s"""WITH RECURSIVE
+         |d0 AS (SELECT doc_id, text FROM documents ORDER BY doc_id LIMIT 1000),
+         |d AS (SELECT doc_id, text FROM d0
+         |  UNION ALL SELECT doc_id + 1000000, text FROM d0
+         |  UNION ALL SELECT doc_id + 2000000, text FROM d0),
+         |w AS (SELECT doc_id, $duckWords AS words FROM d),
+         |sh AS (SELECT doc_id, ${duckShingles(5)} AS s FROM w),
+         |p AS (SELECT a.doc_id AS u, b.doc_id AS v FROM sh a JOIN sh b
+         |  ON a.doc_id < b.doc_id
+         |  WHERE len(list_intersect(a.s, b.s)) * 1.0
+         |    / len(list_distinct(list_concat(a.s, b.s))) >= 0.8),
+         |e AS (SELECT u, v FROM p UNION ALL SELECT v, u FROM p),
+         |r(id, lbl) AS (
+         |  SELECT DISTINCT u, u FROM e
+         |  UNION
+         |  SELECT e.u, r.lbl FROM e JOIN r ON r.id = e.v)
+         |SELECT id AS doc_id, min(lbl) AS component
+         |FROM r GROUP BY id ORDER BY doc_id""".stripMargin,
     "q25_minhash_neardup" ->
       s"""WITH d0 AS (SELECT doc_id, text FROM documents ORDER BY doc_id LIMIT 1500),
          |d AS (SELECT doc_id, text FROM d0 UNION ALL SELECT doc_id + 1000000, text FROM d0),
