@@ -10,7 +10,7 @@ import graft.frontier.{Crawler, CrawlRound}
 import graft.extract.{Classify, Dedup, FacilityExtract, Validation}
 import graft.functions.UrlPredicates
 import graft.sources.Sitemap
-import graft.text.{Chunker, Decontaminate, Pii, Repetition, TextOps, TextPipeline}
+import graft.text.{Chunker, Decontaminate, Packing, Pii, Repetition, Sampling, TextOps, TextPipeline}
 import graft.dedup.{DupClusters, NearDup}
 import graft.ann.{SemDedup, Similarity}
 import graft.multimodal.MediaOps
@@ -552,7 +552,25 @@ object SparkEntry {
       DupClusters.components(edges)
         .select(col("id").as("doc_id"), col("component"))
         .orderBy("doc_id")
-    })
+    }),
+
+    "q49_packing" -> ((s, dir) => // concat-and-chunk sequence packing
+      // pack_group = doc_id % 8 (not the default id-hash) so the DuckDB
+      // oracle reproduces the grouping; the packing arithmetic is what's
+      // under test, and it is identical for any deterministic grouping
+      Packing.pack(T(s, dir, "documents").select("doc_id", "text"),
+          "doc_id", "text", budget = 2048, numGroups = 8,
+          groupExpr = Some(pmod(col("doc_id"), lit(8))))
+        .orderBy("doc_id")),
+
+    "q50_quota_split" -> ((s, dir) => // domain quota sample + stable split
+      Sampling.hashSplit(
+          // quota 15 < the 25-docs-per-source corpus layout, so the cap
+          // genuinely truncates at the gate (40 would keep everything)
+          Sampling.quotaSample(T(s, dir, "documents").select("doc_id", "source"),
+            "doc_id", "source", quota = 15),
+          "doc_id", trainFrac = 0.8, valFrac = 0.1)
+        .orderBy("doc_id"))
   )
 
   /** DuckDB word list — identical to [[TextOps.words]]. */
@@ -778,6 +796,31 @@ object SparkEntry {
          |SELECT doc_id, count(*) AS n_hits
          |FROM tr JOIN bench USING (gram)
          |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // q49 oracle: identical tokens-before-me window cumsum and floor/mod
+    "q49_packing" ->
+      """WITH t AS (SELECT doc_id,
+        |  CASE WHEN length(trim(text)) = 0 THEN 0
+        |    ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS tokens,
+        |  doc_id % 8 AS pack_group FROM documents),
+        |c AS (SELECT doc_id, tokens, pack_group,
+        |  coalesce(sum(tokens) OVER (PARTITION BY pack_group ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS before
+        |  FROM t)
+        |SELECT doc_id, tokens, pack_group,
+        |  before // 2048 AS seq_no, before % 2048 AS offset
+        |FROM c ORDER BY doc_id""".stripMargin,
+    // q50 oracle: identical md5-hex rank key and 4-hex-digit split bucket
+    "q50_quota_split" ->
+      """WITH r AS (SELECT doc_id, source, row_number() OVER (
+        |    PARTITION BY source
+        |    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS sample_rank
+        |  FROM documents)
+        |SELECT doc_id, source, sample_rank,
+        |  CASE WHEN b < 0.8 THEN 'train' WHEN b < 0.9 THEN 'val'
+        |    ELSE 'test' END AS split
+        |FROM (SELECT *, CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 4)
+        |    AS BIGINT) / 65536.0 AS b FROM r)
+        |WHERE sample_rank <= 15 ORDER BY doc_id""".stripMargin,
     // q48 oracle: identical 3-copy corpus and all-pairs exact-jaccard
     // edge set (the q25 recall argument), then min-label reachability via
     // a recursive CTE — UNION dedup bounds the recursion at the closure

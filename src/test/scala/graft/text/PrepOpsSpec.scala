@@ -121,6 +121,85 @@ class PrepOpsSpec extends SparkTestBase {
     assert(dropped2 == droppedIds)
   }
 
+  // ---------- Sequence packing ----------
+
+  test("packing: concat-and-chunk offsets, budget boundaries, oversized docs") {
+    // one group, budget 10; docs of 4, 4, 4, 25, 2 tokens in id order
+    val docs = Seq(
+      (1L, "a b c d"), (2L, "e f g h"), (3L, "i j k l"),
+      (4L, (1 to 25).map(i => s"w$i").mkString(" ")), (5L, "x y"))
+      .toDF("doc_id", "text")
+    val p = Packing.pack(docs, "doc_id", "text", budget = 10, numGroups = 1,
+        groupExpr = Some(lit(0)))
+      .orderBy("doc_id")
+      .select("doc_id", "tokens", "seq_no", "offset")
+      .as[(Long, Int, Long, Long)].collect().toSeq
+    // before: 0, 4, 8, 12, 37 → seq floor(b/10): 0, 0, 0, 1, 3
+    assert(p == Seq((1L, 4, 0L, 0L), (2L, 4, 0L, 4L), (3L, 4, 0L, 8L),
+      (4L, 25, 1L, 2L), (5L, 2, 3L, 7L)))
+    // empty doc consumes nothing and never shifts later offsets
+    val withEmpty = (Seq((0L, "")) ++ Seq((1L, "a b c d"), (2L, "e f g h")))
+      .toDF("doc_id", "text")
+    val p2 = Packing.pack(withEmpty, "doc_id", "text", 10, 1, Some(lit(0)))
+      .orderBy("doc_id").select("doc_id", "offset").as[(Long, Long)].collect()
+    assert(p2.toSeq == Seq((0L, 0L), (1L, 0L), (2L, 4L)))
+  }
+
+  test("packing: groups pack independently and union to the whole corpus") {
+    val docs = (0L until 200L).map(i => (i, ("tok " * ((i % 7).toInt + 1)).trim))
+      .toDF("doc_id", "text")
+    val p = Packing.pack(docs, "doc_id", "text", budget = 16, numGroups = 4)
+    assert(p.count() == 200)
+    // per-group offsets are a valid concat stream: offset of each doc ==
+    // (sum of tokens of lower-id docs in the group) mod accounting
+    val perGroup = p.orderBy("pack_group", "doc_id")
+      .select("pack_group", "tokens", "seq_no", "offset")
+      .as[(Long, Int, Long, Long)].collect()
+      .groupBy(_._1)
+    perGroup.values.foreach { rows =>
+      var before = 0L
+      rows.foreach { case (_, tok, seqNo, off) =>
+        assert(seqNo == before / 16 && off == before % 16)
+        before += tok
+      }
+    }
+    val stats = Packing.sequenceStats(docs, "doc_id", "text", 16, 4)
+    assert(stats.agg(sum("n_docs_starting")).as[Long].head() == 200L)
+  }
+
+  // ---------- Sampling ----------
+
+  test("quota sample: exact per-group caps, stable under appends and partitioning") {
+    val docs = (0L until 300L).map(i => (i, s"src${i % 3}")).toDF("doc_id", "source")
+    val s10 = Sampling.quotaSample(docs, "doc_id", "source", 10)
+    val byGroup = s10.groupBy("source").count().as[(String, Long)].collect().toMap
+    assert(byGroup == Map("src0" -> 10L, "src1" -> 10L, "src2" -> 10L))
+    // small group: all rows kept
+    val tiny = Sampling.quotaSample(docs.filter($"doc_id" < 5), "doc_id", "source", 10)
+    assert(tiny.count() == 5)
+    // appending new docs never evicts differently across partitionings —
+    // determinism of the md5 rank (bigger corpus CAN displace old picks;
+    // the guarantee is determinism, not monotonicity)
+    val a = s10.select("doc_id").as[Long].collect().toSet
+    val b = Sampling.quotaSample(docs.repartition(13), "doc_id", "source", 10)
+      .select("doc_id").as[Long].collect().toSet
+    assert(a == b)
+  }
+
+  test("hash split: stable per-id assignment, fractions roughly honored") {
+    val docs = (0L until 2000L).map(i => (i, "t")).toDF("doc_id", "text")
+    val s = Sampling.hashSplit(docs, "doc_id", 0.8, 0.1)
+    val counts = s.groupBy("split").count().as[(String, Long)].collect().toMap
+    assert(math.abs(counts("train") - 1600L) < 100)
+    assert(math.abs(counts("val") - 200L) < 60)
+    assert(math.abs(counts("test") - 200L) < 60)
+    // a doc's split is a pure function of its id: subset ⇒ same labels
+    val sub = Sampling.hashSplit(docs.filter($"doc_id" % 5 === 0), "doc_id", 0.8, 0.1)
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    val full = s.select("doc_id", "split").as[(Long, String)].collect().toMap
+    assert(sub.forall { case (id, sp) => full(id) == sp })
+  }
+
   test("semdedup: cluster cap bounds the quadratic block deterministically") {
     val vecs = (0L until 50L).map(i => (i, Array.fill(8)(1.0f)))
       .toDF("vec_id", "embedding") // all identical → ONE cluster
