@@ -79,6 +79,24 @@ object PlanAudit {
       storeSigs, docs.filter($"doc_id" >= 250), "doc_id", "text")
     surv.explain("formatted")
 
+    println("==== decontaminate: BROADCAST semi-join probe (corpus never shuffles) ====")
+    graft.text.Decontaminate.contaminated(
+      docs.filter($"doc_id" % 10 =!= 7), "doc_id", "text",
+      docs.filter($"doc_id" % 10 === 7), "text", n = 3).explain("formatted")
+
+    println("==== line dedup: broadcast boilerplate probe + one corpus scan ====")
+    graft.text.LineDedup.clean(docs, "doc_id", "text", minDocs = 50)
+      .explain("formatted")
+
+    println("==== packing: window partitioned by pack_group (no global sort) ====")
+    graft.text.Packing.pack(docs, "doc_id", "text", budget = 2048, numGroups = 8)
+      .explain("formatted")
+
+    println("==== dup clusters: large-star pass = agg + same-key join (no cartesian) ====")
+    val edges = docs.filter($"doc_id" < 100)
+      .select(($"doc_id" + 1).as("idA"), $"doc_id".as("idB"))
+    graft.dedup.DupClusters.components(edges).explain("formatted")
+
     spark.stop()
   }
 }

@@ -10,7 +10,7 @@ import graft.frontier.{Crawler, CrawlRound}
 import graft.extract.{Classify, Dedup, FacilityExtract, Validation}
 import graft.functions.UrlPredicates
 import graft.sources.Sitemap
-import graft.text.{Chunker, Decontaminate, Packing, Pii, Repetition, Sampling, TextOps, TextPipeline}
+import graft.text.{Chunker, Decontaminate, LineDedup, Packing, Pii, Repetition, Sampling, TextOps, TextPipeline}
 import graft.dedup.{DupClusters, NearDup}
 import graft.ann.{SemDedup, Similarity}
 import graft.multimodal.MediaOps
@@ -570,7 +570,24 @@ object SparkEntry {
           Sampling.quotaSample(T(s, dir, "documents").select("doc_id", "source"),
             "doc_id", "source", quota = 15),
           "doc_id", trainFrac = 0.8, valFrac = 0.1)
-        .orderBy("doc_id"))
+        .orderBy("doc_id")),
+
+    "q51_line_dedup" -> ((s, dir) => { // C4-style boilerplate line removal
+      // planted lines (identical construction in the oracle): a footer on
+      // every doc (df=all → removed), a banner on even ids (df≈half →
+      // removed), a "rare" line per doc_id%97 (df≈5 < 50 → kept)
+      val planted = T(s, dir, "documents").select(col("doc_id"),
+        concat(col("text"),
+          lit("\nsubscribe to our newsletter today"),
+          when(pmod(col("doc_id"), lit(2)) === 0,
+            lit("\naccept all cookies to continue")).otherwise(lit("")),
+          concat(lit("\nrare line "), pmod(col("doc_id"), lit(97)).cast("string"))
+        ).as("text"))
+      LineDedup.clean(planted, "doc_id", "text", minDocs = 50)
+        .select(col("doc_id"), col("n_lines"), col("n_removed"),
+          md5(col("clean_text").cast("binary")).as("clean_md5"))
+        .orderBy("doc_id")
+    })
   )
 
   /** DuckDB word list — identical to [[TextOps.words]]. */
@@ -796,6 +813,27 @@ object SparkEntry {
          |SELECT doc_id, count(*) AS n_hits
          |FROM tr JOIN bench USING (gram)
          |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // q51 oracle: identical planted lines, trim/split, per-doc-distinct
+    // doc-frequency threshold, and ordered reassembly (md5-compared)
+    "q51_line_dedup" ->
+      """WITH d AS (SELECT doc_id, concat(text,
+        |    chr(10) || 'subscribe to our newsletter today',
+        |    CASE WHEN doc_id % 2 = 0
+        |      THEN chr(10) || 'accept all cookies to continue' ELSE '' END,
+        |    chr(10) || 'rare line ' || (doc_id % 97)) AS text FROM documents),
+        |w AS (SELECT doc_id, list_filter(list_transform(
+        |    str_split(text, chr(10)), x -> trim(x)), x -> x <> '') AS lines FROM d),
+        |ll AS (SELECT doc_id, i, lines[i] AS line
+        |  FROM w, unnest(range(1, len(lines) + 1)) AS t(i)),
+        |f AS (SELECT line FROM (SELECT DISTINCT doc_id, line FROM ll)
+        |  GROUP BY line HAVING count(*) >= 50),
+        |k AS (SELECT ll.doc_id, ll.i, ll.line, f.line IS NOT NULL AS bp
+        |  FROM ll LEFT JOIN f ON ll.line = f.line)
+        |SELECT doc_id, count(*) AS n_lines,
+        |  count(CASE WHEN bp THEN 1 END) AS n_removed,
+        |  md5(coalesce(string_agg(CASE WHEN NOT bp THEN line END,
+        |    chr(10) ORDER BY i), '')) AS clean_md5
+        |FROM k GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // q49 oracle: identical tokens-before-me window cumsum and floor/mod
     "q49_packing" ->
       """WITH t AS (SELECT doc_id,

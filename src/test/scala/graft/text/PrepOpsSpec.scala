@@ -121,6 +121,39 @@ class PrepOpsSpec extends SparkTestBase {
     assert(dropped2 == droppedIds)
   }
 
+  // ---------- Line-level boilerplate dedup ----------
+
+  test("line dedup: frequent lines removed, order kept, within-doc dups counted per occurrence") {
+    val docs = Seq(
+      (1L, "alpha\n  menu  \nbody one\nmenu"), // trim matches "menu"; 2 occurrences
+      (2L, "menu\nbody two"),
+      (3L, "menu\nbody three\nbody three"), // non-bp within-doc dup is KEPT twice
+      (4L, "standalone")).toDF("doc_id", "text")
+    val freq = LineDedup.frequentLines(docs, "doc_id", "text", minDocs = 3)
+      .as[(String, Long)].collect().toMap
+    assert(freq == Map("menu" -> 3L)) // per-doc distinct: doc 1 counts once
+    val c = LineDedup.clean(docs, "doc_id", "text", minDocs = 3)
+      .orderBy("doc_id")
+      .select("doc_id", "n_lines", "n_removed", "clean_text")
+      .as[(Long, Long, Long, String)].collect().toSeq
+    assert(c(0) == ((1L, 4L, 2L, "alpha\nbody one")))
+    assert(c(1) == ((2L, 2L, 1L, "body two")))
+    assert(c(2) == ((3L, 3L, 1L, "body three\nbody three")))
+    assert(c(3) == ((4L, 1L, 0L, "standalone")))
+  }
+
+  test("line dedup: all-boilerplate and empty docs survive with empty clean text") {
+    val docs = Seq((1L, "menu"), (2L, "menu"), (3L, "menu"), (4L, ""), (5L, "  \n \n"))
+      .toDF("doc_id", "text")
+    val c = LineDedup.clean(docs, "doc_id", "text", minDocs = 3)
+      .orderBy("doc_id")
+      .select("doc_id", "n_lines", "n_removed", "clean_text")
+      .as[(Long, Long, Long, String)].collect().toSeq
+    assert(c.map(_._1) == Seq(1L, 2L, 3L, 4L, 5L)) // every doc kept
+    assert(c.take(3).forall(r => r._2 == 1 && r._3 == 1 && r._4 == ""))
+    assert(c(3) == ((4L, 0L, 0L, "")) && c(4) == ((5L, 0L, 0L, "")))
+  }
+
   // ---------- Sequence packing ----------
 
   test("packing: concat-and-chunk offsets, budget boundaries, oversized docs") {
