@@ -37,19 +37,28 @@ object SemDedup {
   def droppedPairs(assigned: DataFrame, idCol: String, vecCol: String,
                    tau: Double, maxClusterSize: Int = 10000): DataFrame = {
     val w = Window.partitionBy("centroid").orderBy(col("id").asc)
+    // double-cast + L2 norm are computed ONCE PER ROW here and cross the
+    // centroid shuffle as attributes — the O(cluster²) pair stage then
+    // pays a single dot-product pass per pair instead of re-running the
+    // cast and both norms (5 interpreted array passes) per pair, which
+    // dominated the query before (the projection-re-inlining gotcha)
     val capped = assigned
-      .select(col(idCol).as("id"), col(vecCol).as("v"), col("centroid"))
+      .select(col(idCol).as("id"),
+        transform(col(vecCol), x => x.cast("double")).as("v"), col("centroid"))
+      .withColumn("nrm", Similarity.norm(col("v")))
       .withColumn("__rn", row_number().over(w))
       .observe(s"semdedup_clusters_${observeId.incrementAndGet()}",
         sum(when(col("__rn") > maxClusterSize, 1L).otherwise(0L)).as("truncated_rows"))
       .filter(col("__rn") <= maxClusterSize).drop("__rn")
-    val a = capped.select(col("centroid"), col("id").as("idA"), col("v").as("vA"))
-    val b = capped.select(col("centroid"), col("id").as("idB"), col("v").as("vB"))
+    val a = capped.select(col("centroid"), col("id").as("idA"),
+      col("v").as("vA"), col("nrm").as("nA"))
+    val b = capped.select(col("centroid"), col("id").as("idB"),
+      col("v").as("vB"), col("nrm").as("nB"))
     a.join(b, Seq("centroid"))
       .filter(col("idA") < col("idB"))
-      .withColumn("cos", Similarity.cosine(
-        transform(col("vA"), x => x.cast("double")),
-        transform(col("vB"), x => x.cast("double"))))
+      // identical float semantics to cosine(): d = nA*nB, dot/d
+      .withColumn("cos", when(col("nA") * col("nB") === 0.0, lit(0.0))
+        .otherwise(Similarity.dot(col("vA"), col("vB")) / (col("nA") * col("nB"))))
       .filter(col("cos") >= tau)
       .groupBy(col("idB").as("id"))
       .agg(min("idA").as("dup_of"), max("cos").as("max_cos"))

@@ -215,19 +215,25 @@ object Similarity {
                         dim: Int = 64, maxBucketSize: Int = 10000): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("bucket").orderBy(col("id").asc)
+    // cast + norm once per row, crossing the bucket shuffle — the pair
+    // stage pays one dot-product pass per pair (see SemDedup.droppedPairs)
     val bucketed = vectors
-      .select(col(idCol).as("id"), col(vecCol).as("v"))
+      .select(col(idCol).as("id"),
+        transform(col(vecCol), x => x.cast("double")).as("v"))
       .withColumn("bucket", lshBucket(col("v"), planes, dim))
+      .withColumn("nrm", norm(col("v")))
       .withColumn("__rn", row_number().over(w))
       .observe(s"embedding_neardup_buckets_${observeId.incrementAndGet()}",
         sum(when(col("__rn") > maxBucketSize, 1L).otherwise(0L)).as("truncated_rows"))
       .filter(col("__rn") <= maxBucketSize).drop("__rn")
-    val a = bucketed.select(col("id").as("idA"), col("v").as("vA"), col("bucket"))
-    val b = bucketed.select(col("id").as("idB"), col("v").as("vB"), col("bucket"))
+    val a = bucketed.select(col("id").as("idA"), col("v").as("vA"),
+      col("nrm").as("nA"), col("bucket"))
+    val b = bucketed.select(col("id").as("idB"), col("v").as("vB"),
+      col("nrm").as("nB"), col("bucket"))
     a.join(b, Seq("bucket"))
       .filter(col("idA") < col("idB"))
-      .withColumn("cos", cosine(transform(col("vA"), x => x.cast("double")),
-        transform(col("vB"), x => x.cast("double"))))
+      .withColumn("cos", when(col("nA") * col("nB") === 0.0, lit(0.0))
+        .otherwise(dot(col("vA"), col("vB")) / (col("nA") * col("nB"))))
       .filter(col("cos") >= threshold)
       .select("idA", "idB", "cos").distinct()
   }

@@ -2,6 +2,7 @@ package graft.dedup
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftbridge.Bridge.{column, expression}
 import graft.text.TextOps
 
 /**
@@ -169,11 +170,21 @@ object NearDup {
    * shared substring shorter than k is ever detected. Texts shorter than
    * k fingerprint the whole normalized stream.
    *
-   * Scale: pure narrow column expressions — per-row cost O(|text|·w), no
-   * shuffle, no UDF; each doc keeps ≈ 2/(w+1) of its grams, so the
+   * Scale: ONE codegen'd O(|text|) pass per row
+   * ([[graft.expr.WinnowFingerprints]] — monotonic-deque window minima),
+   * no shuffle, no UDF; each doc keeps ≈ 2/(w+1) of its grams, so the
    * downstream fingerprint join is over a w-fold-compressed set.
    */
   def winnowFingerprints(text: Column, k: Int = 8, w: Int = 4): Column = {
+    require(k >= 2, s"k=$k: grams need at least 2 chars")
+    require(w >= 1, s"w=$w: the winnow window must hold at least 1 gram")
+    column(graft.expr.WinnowFingerprints(expression(text), k, w))
+  }
+
+  /** The builtin-column formulation of [[winnowFingerprints]] — kept as
+    * the executable SPECIFICATION the kernel is differentially tested
+    * against (O(n·w) interpreted lambdas; not used on any hot path). */
+  private[graft] def winnowFingerprintsCols(text: Column, k: Int = 8, w: Int = 4): Column = {
     require(k >= 2, s"k=$k: grams need at least 2 chars")
     require(w >= 1, s"w=$w: the winnow window must hold at least 1 gram")
     val norm = regexp_replace(lower(text), "[^a-z0-9]", "")

@@ -103,6 +103,26 @@ object CharOverlapSim {
   }
 }
 
+/** Winnowed k-gram fingerprint set (SIGMOD'03; SURVEY §2.11) as ONE
+  * codegen'd O(n) pass — the interpreted higher-order-function pipeline
+  * it replaces re-hashed and re-sliced arrays per window (O(n·w) lambda
+  * dispatch, the dominant cost of the winnow query). Values are
+  * identical by the kernel's differential spec. */
+case class WinnowFingerprints(child: Expression, k: Int, w: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult =
+    GraftExprChecks.requireString(prettyName, child)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "winnow_fingerprints"
+  override protected def nullSafeEval(v: Any): Any =
+    graft.core.WinnowKernel.fingerprints(v.asInstanceOf[UTF8String], k, w)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.core.WinnowKernel.fingerprints($c, $k, $w)")
+  override protected def withNewChildInternal(c: Expression): WinnowFingerprints =
+    copy(child = c)
+}
+
 private[expr] object GraftExprChecks {
   import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
   def requireString(name: String, es: Expression*): TypeCheckResult = {

@@ -92,6 +92,26 @@ class TextPropertySpec extends SparkTestBase {
     assert(fps(1).length == 1 && fps(3).length == 1)
   }
 
+  test("winnowing kernel == column-expression specification (differential)") {
+    // seeded random corpora over mixed alphabets (incl. unicode, empty,
+    // shorter-than-k, all-punct) across several (k, w) shapes
+    val rnd = new scala.util.Random(42)
+    val alphabets = Seq("abc", "abcdefghij0123456789 .,!?", "a b\nc\td",
+      "αβγ déjà vu ABC 123", "!!!???...", "")
+    val texts = (0 until 60).map { i =>
+      val a = alphabets(i % alphabets.length)
+      if (a.isEmpty) "" else (0 until rnd.nextInt(300)).map(_ => a(rnd.nextInt(a.length))).mkString
+    } ++ Seq("", "x", "ab", "exactly8", "The Quick BROWN fox!! 99")
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+    for ((k, w) <- Seq((8, 4), (5, 3), (2, 1), (4, 9))) {
+      val fast = df.select($"id", NearDup.winnowFingerprints($"text", k, w).as("f"))
+        .as[(Long, Seq[Long])].collect().toMap
+      val spec = df.select($"id", NearDup.winnowFingerprintsCols($"text", k, w).as("f"))
+        .as[(Long, Seq[Long])].collect().toMap
+      assert(fast == spec, s"k=$k w=$w")
+    }
+  }
+
   test("winnowPairs: planted near-dup found; df-cap drops boilerplate-only pairs") {
     val base = randText(7L, 60)
     val nearDup = base + " extra tail words appended"
