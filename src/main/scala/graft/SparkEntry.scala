@@ -270,10 +270,14 @@ object SparkEntry {
     "q43_winnow_pairs" -> ((s, dir) => { // rolling k-gram winnowing fingerprints
       // Schleimer et al. 2003 winnowing: k=8 char grams, window w=4,
       // near-dup = fingerprint containment >= 0.5 of the smaller side.
+      // maxDocFreq=20 exercises the boilerplate skew cap — on this
+      // tiny-vocab synthetic corpus vocabulary-induced gram collisions
+      // otherwise make the candidate join quadratic (30M pair rows at
+      // sf0.1), the exact failure mode the cap exists for at 100 TB.
       // The DuckDB oracle recomputes the identical md5-60bit gram hashes,
-      // window minima and containment join — a hard equality check.
+      // window minima, df cap, and containment join — a hard equality check.
       NearDup.winnowPairs(T(s, dir, "documents").select("doc_id", "text"),
-          "doc_id", "text", k = 8, w = 4, minFrac = 0.5)
+          "doc_id", "text", k = 8, w = 4, minFrac = 0.5, maxDocFreq = 20L)
         .orderBy("idA", "idB")
     }),
 
@@ -914,7 +918,11 @@ object SparkEntry {
         |    ELSE list_transform(range(1, len(hs) - 2), i ->
         |      list_aggregate(hs[i:i+3], 'min')) END) AS fps
         |  FROM g),
-        |e AS (SELECT doc_id, len(fps) AS nfp, unnest(fps) AS fp FROM f),
+        |e0 AS (SELECT doc_id, unnest(fps) AS fp FROM f),
+        |keep AS (SELECT fp FROM e0 GROUP BY fp HAVING count(*) <= 20),
+        |e1 AS (SELECT doc_id, fp FROM e0 JOIN keep USING (fp)),
+        |nf AS (SELECT doc_id, count(*) AS nfp FROM e1 GROUP BY doc_id),
+        |e AS (SELECT e1.doc_id, nf.nfp, e1.fp FROM e1 JOIN nf USING (doc_id)),
         |p AS (SELECT a.doc_id AS idA, b.doc_id AS idB,
         |    CAST(count(*) AS BIGINT) AS shared,
         |    count(*)::DOUBLE / least(any_value(a.nfp), any_value(b.nfp)) AS frac
