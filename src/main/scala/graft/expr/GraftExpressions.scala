@@ -123,6 +123,26 @@ case class WinnowFingerprints(child: Expression, k: Int, w: Int)
     copy(child = c)
 }
 
+/** Per-doc Gopher repetition metrics (top-n-gram / dup-n-gram char
+  * fractions) as ONE codegen'd pass — no exploded gram rows, no shuffle.
+  * Values identical to the column pipeline by the differential spec. */
+case class RepetitionMetrics(child: Expression, topN: Int, dupN: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = StructType(Seq(
+    StructField("topFrac", DoubleType, nullable = false),
+    StructField("dupFrac", DoubleType, nullable = false)))
+  override def checkInputDataTypes(): TypeCheckResult =
+    GraftExprChecks.requireString(prettyName, child)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "repetition_metrics"
+  override protected def nullSafeEval(v: Any): Any =
+    graft.core.RepetitionKernel.metrics(v.asInstanceOf[UTF8String], topN, dupN)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.core.RepetitionKernel.metrics($c, $topN, $dupN)")
+  override protected def withNewChildInternal(c: Expression): RepetitionMetrics =
+    copy(child = c)
+}
+
 private[expr] object GraftExprChecks {
   import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
   def requireString(name: String, es: Expression*): TypeCheckResult = {

@@ -38,10 +38,31 @@ object Repetition {
   /**
    * Per-document repetition metrics over `textCol`:
    * (id, top2_char_frac, dup5_char_frac, repetitive). Every input doc
-   * appears in the output (explode_outer keeps gram-less docs); docs with
-   * no words score 0.0 on both fractions.
+   * appears in the output; docs with no words score 0.0 on both
+   * fractions. Computed by ONE codegen'd per-doc pass
+   * ([[graft.expr.RepetitionMetrics]]) — no exploded gram rows, no
+   * shuffle; [[metricsCols]] is the column-pipeline specification it is
+   * differentially tested against.
    */
   def metrics(docs: DataFrame, idCol: String, textCol: String,
+              topN: Int = 2, dupN: Int = 5,
+              topThresh: Double = 0.20, dupThresh: Double = 0.15): DataFrame = {
+    import org.apache.spark.sql.graftbridge.Bridge.{column, expression}
+    val m = column(graft.expr.RepetitionMetrics(
+      expression(coalesce(col(textCol), lit(""))), topN, dupN))
+    docs
+      .select(col(idCol), m.as("__m"))
+      .select(col(idCol),
+        round(col("__m").getField("topFrac"), 4).as("top2_char_frac"),
+        round(col("__m").getField("dupFrac"), 4).as("dup5_char_frac"))
+      .withColumn("repetitive",
+        col("top2_char_frac") > topThresh || col("dup5_char_frac") > dupThresh)
+  }
+
+  /** Column-pipeline formulation of [[metrics]] — the executable
+    * SPECIFICATION for the kernel's differential test (one tagged-gram
+    * explode → two aggregations; not used on hot paths). */
+  private[graft] def metricsCols(docs: DataFrame, idCol: String, textCol: String,
               topN: Int = 2, dupN: Int = 5,
               topThresh: Double = 0.20, dupThresh: Double = 0.15): DataFrame = {
     val ws = TextOps.words(col(textCol))

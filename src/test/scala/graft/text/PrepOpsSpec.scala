@@ -41,6 +41,23 @@ class PrepOpsSpec extends SparkTestBase {
     assert(kept.toSeq == Seq(3L, 4L, 5L))
   }
 
+  test("repetition kernel == column-pipeline specification (differential)") {
+    val rnd = new scala.util.Random(7)
+    val vocab = Seq("a", "bb", "ccc", "dd", "e", "ffff", "zz", "déjà", "Αθήνα", "x9y")
+    val texts = (0 until 50).map { _ =>
+      (0 until rnd.nextInt(60)).map(_ => vocab(rnd.nextInt(vocab.length)))
+        .mkString(Seq(" ", ", ", "  ", "\n")(rnd.nextInt(4)))
+    } ++ Seq("", "one", "a b a b a b", "ONLY-punct!!! ???", "word " * 200)
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    for ((tn, dn) <- Seq((2, 5), (3, 4), (1, 2))) {
+      val fast = Repetition.metrics(df, "doc_id", "text", tn, dn)
+        .orderBy("doc_id").collect().toSeq
+      val spec = Repetition.metricsCols(df, "doc_id", "text", tn, dn)
+        .orderBy("doc_id").collect().toSeq
+      assert(fast == spec, s"topN=$tn dupN=$dn")
+    }
+  }
+
   // ---------- PII ----------
 
   test("pii: counts, byte-exact redaction, pattern disjointness") {
