@@ -10,7 +10,7 @@ import graft.frontier.{Crawler, CrawlRound}
 import graft.extract.{Classify, Dedup, FacilityExtract, Validation}
 import graft.functions.UrlPredicates
 import graft.sources.Sitemap
-import graft.text.{Chunker, Decontaminate, LineDedup, Packing, Pii, Repetition, Sampling, TextOps, TextPipeline}
+import graft.text.{Chunker, Decontaminate, LineDedup, Packing, Pii, PrepStack, Repetition, Sampling, TextOps, TextPipeline}
 import graft.dedup.{DupClusters, NearDup}
 import graft.ann.{SemDedup, Similarity}
 import graft.multimodal.MediaOps
@@ -591,6 +591,35 @@ object SparkEntry {
         .select(col("doc_id"), col("n_lines"), col("n_removed"),
           md5(col("clean_text").cast("binary")).as("clean_md5"))
         .orderBy("doc_id")
+    }),
+
+    "q52_prep_stack" -> ((s, dir) => { // THE composed modern prep stack
+      // pii redact → line dedup → [repetition+quality+langid one pass] →
+      // exact dedup → LSH near-dup → decontaminate. Bench = doc_id%10==7
+      // docs (held out of the input); planted per-doc_id: an email (pii
+      // stage), a universal footer + even-id banner (line stage, df ≥ 50
+      // at the gate AND ≤ sf0.1: rare-line df ≈ 46 < 50), a rare line
+      // that must survive. Oracle re-derives the whole chain in SQL from
+      // the same planted corpus.
+      val all = T(s, dir, "documents").select("doc_id", "text")
+      val bench = all.filter(pmod(col("doc_id"), lit(10)) === 7)
+      val planted = all.filter(pmod(col("doc_id"), lit(10)) =!= 7)
+        .select(col("doc_id"), concat(
+          col("text"),
+          when(pmod(col("doc_id"), lit(3)) === 0, concat(
+            lit(" reach user"), col("doc_id").cast("string"),
+            lit("@mail.example.org"))).otherwise(lit("")),
+          lit("\nsubscribe to our newsletter today"),
+          when(pmod(col("doc_id"), lit(2)) === 0,
+            lit("\naccept all cookies to continue")).otherwise(lit("")),
+          concat(lit("\nrare line "), pmod(col("doc_id"), lit(97)).cast("string"))
+        ).as("text"))
+      // decontamN=5 (not the q46 demo's 3): on this ~30-word vocab every
+      // doc shares a 3-gram with some bench doc (survivors would be 0);
+      // 5-grams are near-disjoint across unrelated docs (the q25 argument)
+      // so only genuine bench near-dups are flagged
+      PrepStack.report(planted, "doc_id", "text", bench, "text",
+        PrepStack.StackConfig(decontamN = 5))
     })
   )
 
@@ -790,6 +819,92 @@ object SparkEntry {
        |FROM d ORDER BY doc_id""".stripMargin
   }
 
+  /** q52 oracle: the ENTIRE composed prep stack re-derived in SQL —
+    * identical planted corpus, redaction patterns ([[Pii.patterns]]
+    * interpolated), line-df threshold, repetition/quality/langid gates,
+    * exact fingerprint groups, EXACT (not LSH) near-dup pairs (the q25
+    * recall argument), and benchmark 3-gram decontamination. */
+  private def q52OracleSql: String = {
+    val redacted = Pii.patterns.foldLeft("text") { case (t, (_, re, tok)) =>
+      s"regexp_replace($t, '$re', '$tok', 'g')"
+    }
+    val piiFlag = Pii.patterns
+      .map { case (_, re, _) => s"len(regexp_extract_all(text, '$re')) > 0" }
+      .mkString("(", " OR ", ")")
+    s"""WITH
+       |d0 AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 <> 7),
+       |bench0 AS (SELECT text FROM documents WHERE doc_id % 10 = 7),
+       |d AS (SELECT doc_id, concat(text,
+       |   CASE WHEN doc_id % 3 = 0 THEN concat(' reach user', doc_id, '@mail.example.org') ELSE '' END,
+       |   chr(10) || 'subscribe to our newsletter today',
+       |   CASE WHEN doc_id % 2 = 0 THEN chr(10) || 'accept all cookies to continue' ELSE '' END,
+       |   chr(10) || 'rare line ' || (doc_id % 97)) AS text FROM d0),
+       |r AS (SELECT doc_id, $redacted AS rtext, $piiFlag AS pii FROM d),
+       |w AS (SELECT doc_id, list_filter(list_transform(
+       |    str_split(rtext, chr(10)), x -> trim(x)), x -> x <> '') AS lines FROM r),
+       |ll AS (SELECT doc_id, i, lines[i] AS line
+       |  FROM w, unnest(range(1, len(lines) + 1)) AS t(i)),
+       |bpl AS (SELECT line FROM (SELECT DISTINCT doc_id, line FROM ll)
+       |  GROUP BY line HAVING count(*) >= 50),
+       |kk AS (SELECT ll.doc_id, ll.i, ll.line, bpl.line IS NOT NULL AS bp
+       |  FROM ll LEFT JOIN bpl ON ll.line = bpl.line),
+       |c AS (SELECT doc_id, count(CASE WHEN bp THEN 1 END) AS n_rm,
+       |    coalesce(string_agg(CASE WHEN NOT bp THEN line END, chr(10) ORDER BY i), '') AS text
+       |  FROM kk GROUP BY doc_id),
+       |cw AS (SELECT doc_id, text, $wordsSql AS words FROM c),
+       |bse AS (SELECT doc_id, coalesce(list_sum(list_transform(words, x -> length(x))), 0) AS tot FROM cw),
+       |g2 AS (SELECT doc_id, array_to_string(words[i:i+1], ' ') AS gram
+       |  FROM cw, unnest(range(1, len(words))) AS t(i)),
+       |t2 AS (SELECT doc_id, cnt, length(gram) - 1 AS gc FROM (
+       |    SELECT doc_id, gram, cnt, row_number() OVER (
+       |      PARTITION BY doc_id ORDER BY cnt DESC, length(gram) DESC, gram DESC) AS rn
+       |    FROM (SELECT doc_id, gram, count(*) AS cnt FROM g2 GROUP BY 1, 2)) WHERE rn = 1),
+       |g5 AS (SELECT doc_id, array_to_string(words[i:i+4], ' ') AS gram
+       |  FROM cw, unnest(range(1, len(words) - 3)) AS t(i)),
+       |c5 AS (SELECT doc_id, sum((cnt - 1) * (length(gram) - 4)) AS dup FROM (
+       |    SELECT doc_id, gram, count(*) AS cnt FROM g5 GROUP BY 1, 2) x
+       |  WHERE cnt > 1 GROUP BY doc_id),
+       |rep AS (SELECT bse.doc_id,
+       |   round(coalesce(CASE WHEN tot > 0 THEN t2.cnt * t2.gc * 1.0 / tot END, 0), 4) AS tf,
+       |   round(coalesce(CASE WHEN tot > 0 THEN c5.dup * 1.0 / tot END, 0), 4) AS df5
+       | FROM bse LEFT JOIN t2 USING (doc_id) LEFT JOIN c5 USING (doc_id)),
+       |scored AS (SELECT cw.doc_id, cw.text,
+       |    (rep.tf > 0.20 OR rep.df5 > 0.15) AS rep,
+       |    ${qualitySqlOver("words")} AS q, ${langIdSqlOver("words")} AS l
+       |  FROM cw JOIN rep ON cw.doc_id = rep.doc_id),
+       |gated AS (SELECT doc_id, text FROM scored WHERE NOT rep AND q >= 0.65 AND l = 'en'),
+       |e AS (SELECT min(doc_id) AS doc_id, arg_min(text, doc_id) AS text FROM gated
+       |  GROUP BY md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))),
+       |sh AS (SELECT doc_id, ${duckShingles(5)} AS s
+       |  FROM (SELECT doc_id, $wordsSql AS words FROM e)),
+       |vp AS (SELECT * FROM (SELECT a.doc_id AS ia, b.doc_id AS ib,
+       |    len(list_intersect(a.s, b.s)) * 1.0 / len(list_distinct(list_concat(a.s, b.s))) AS j
+       |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id) WHERE j >= 0.8),
+       |nds AS (SELECT * FROM e WHERE doc_id NOT IN (SELECT ib FROM vp)),
+       |bg AS (SELECT DISTINCT unnest(gs) AS gram FROM
+       |   (SELECT list_distinct(list_transform(range(1, len(words) - 3),
+       |      i -> array_to_string(words[i:i+4], ' '))) AS gs
+       |    FROM (SELECT $wordsSql AS words FROM bench0))),
+       |tg AS (SELECT doc_id, unnest(gs) AS gram FROM
+       |   (SELECT doc_id, list_distinct(list_transform(range(1, len(words) - 3),
+       |      i -> array_to_string(words[i:i+4], ' '))) AS gs
+       |    FROM (SELECT doc_id, $wordsSql AS words FROM nds))),
+       |contam AS (SELECT DISTINCT tg.doc_id FROM tg JOIN bg USING (gram)),
+       |fin AS (SELECT * FROM nds WHERE doc_id NOT IN (SELECT doc_id FROM contam)),
+       |tok AS (SELECT CASE WHEN length(trim(text)) = 0 THEN 0
+       |  ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n FROM fin)
+       |SELECT
+       | (SELECT count(*) FROM d) AS n_input,
+       | (SELECT count(*) FROM r WHERE pii) AS n_pii_docs,
+       | (SELECT CAST(coalesce(sum(n_rm), 0) AS BIGINT) FROM c) AS n_boiler_removed,
+       | (SELECT count(*) FROM gated) AS n_gate_survivors,
+       | (SELECT count(*) FROM e) AS n_exact,
+       | (SELECT count(*) FROM vp) AS n_neardup_pairs,
+       | (SELECT count(*) FROM contam) AS n_contaminated,
+       | (SELECT count(*) FROM fin) AS n_survivors,
+       | (SELECT CAST(coalesce(sum(n), 0) AS BIGINT) FROM tok) AS n_tokens""".stripMargin
+  }
+
   /** Golden-fixture oracle (see [[GenDriverFixtures]]): the query has no
     * sf-table input (deterministic synthetic corpus + custom expressions
     * DuckDB cannot evaluate), so its once-pinned result parquet IS the
@@ -897,6 +1012,7 @@ object SparkEntry {
          |ORDER BY idA, idB""".stripMargin,
     "q26_simhash_pairs" -> q26OracleSql,
     "q41_prep_pipeline" -> q41OracleSql,
+    "q52_prep_stack" -> q52OracleSql,
     "q42_incremental_dedup" -> q42OracleSql,
     "q27_jaccard_consecutive" ->
       s"""WITH w AS (SELECT doc_id, $duckWords AS words FROM documents),

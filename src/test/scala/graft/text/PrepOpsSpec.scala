@@ -171,6 +171,36 @@ class PrepOpsSpec extends SparkTestBase {
     assert(c(3) == ((4L, 0L, 0L, "")) && c(4) == ((5L, 0L, 0L, "")))
   }
 
+  // ---------- Composed prep stack ----------
+
+  test("prep stack: every stage drops exactly its planted victim") {
+    def u(i: Int) = s"zz${('a' + i / 10).toChar}${('a' + i % 10).toChar}"
+    // 20 distinct words: long enough that one 2-gram occurrence stays
+    // under the 0.20 Gopher threshold (max 10 chars / 82 word chars)
+    def base(i: Int) = s"the quick ${u(i)} fox and some other valid words " +
+      "here more text goes on just fine today again still done"
+    val docs = (0 until 60).map { i =>
+      val t = i match {
+        case 50 => "the fox the fox the fox the fox the fox the fox" // repetition gate
+        case 51 => base(1) // exact dup of doc 1 AFTER line-cleaning (1 has the footer)
+        case 52 => base(2) + " extraword" // near-dup of doc 2: 5-shingle j = 16/17
+        case _ => base(i) +
+          (if (i == 5) " reach me@x.org" else "") + // pii stage
+          (if (i <= 39) "\nshared footer line" else "") // boilerplate, df = 40
+      }
+      (i.toLong, t)
+    }.toDF("doc_id", "text")
+    // bench gram "the quick zzad fox and" exists ONLY in doc 3 (the
+    // common base tail would contaminate everything)
+    val bench = Seq((0L, s"the quick ${u(3)} fox and")).toDF("doc_id", "text")
+    val r = PrepStack.report(docs, "doc_id", "text", bench, "text",
+        PrepStack.StackConfig(minDocsLine = 30, decontamN = 5))
+      .as[(Long, Long, Long, Long, Long, Long, Long, Long, Long)].head()
+    // (n_input, n_pii_docs, n_boiler_removed, n_gate_survivors, n_exact,
+    //  n_neardup_pairs, n_contaminated, n_survivors, n_tokens)
+    assert(r == ((60L, 1L, 40L, 59L, 58L, 1L, 1L, 56L, 55L * 20 + 22)))
+  }
+
   // ---------- Sequence packing ----------
 
   test("packing: concat-and-chunk offsets, budget boundaries, oversized docs") {
