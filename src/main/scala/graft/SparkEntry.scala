@@ -620,7 +620,23 @@ object SparkEntry {
       // so only genuine bench near-dups are flagged
       PrepStack.report(planted, "doc_id", "text", bench, "text",
         PrepStack.StackConfig(decontamN = 5))
-    })
+    }),
+
+    "q53_corpus_profile" -> ((s, dir) => // per-language corpus profile
+      // the reporting pass a mixture designer runs before weighting:
+      // doc/token volumes, EXACT interpolated token percentiles (matches
+      // DuckDB quantile_cont), mean quality — one scan, one hash agg
+      T(s, dir, "documents")
+        .select(col("lang"),
+          TextOps.tokenCountWs(col("text")).cast("long").as("ws"),
+          TextOps.qualityScore(col("text")).as("q"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("ws").as("n_tokens"),
+          percentile(col("ws"), lit(0.5)).as("p50_tokens"),
+          percentile(col("ws"), lit(0.9)).as("p90_tokens"),
+          round(avg("q"), 4).as("avg_quality"))
+        .orderBy("lang"))
   )
 
   /** DuckDB word list — identical to [[TextOps.words]]. */
@@ -1013,6 +1029,20 @@ object SparkEntry {
     "q26_simhash_pairs" -> q26OracleSql,
     "q41_prep_pipeline" -> q41OracleSql,
     "q52_prep_stack" -> q52OracleSql,
+    // q53 oracle: Spark percentile == DuckDB quantile_cont (both linear
+    // interpolation over the exact sorted values)
+    "q53_corpus_profile" ->
+      s"""SELECT lang, count(*) AS n_docs,
+         | CAST(sum(ws) AS BIGINT) AS n_tokens,
+         | quantile_cont(ws, 0.5) AS p50_tokens,
+         | quantile_cont(ws, 0.9) AS p90_tokens,
+         | round(avg(q), 4) AS avg_quality
+         |FROM (SELECT lang,
+         |  CASE WHEN length(trim(text)) = 0 THEN 0
+         |    ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS ws,
+         |  ${qualitySqlOver(wordsSql)} AS q
+         | FROM documents)
+         |GROUP BY lang ORDER BY lang""".stripMargin,
     "q42_incremental_dedup" -> q42OracleSql,
     "q27_jaccard_consecutive" ->
       s"""WITH w AS (SELECT doc_id, $duckWords AS words FROM documents),

@@ -46,4 +46,33 @@ object Decontaminate {
     train.join(
       contaminated(train, idCol, textCol, bench, benchTextCol, n).select(idCol),
       Seq(idCol), "left_anti")
+
+  /**
+   * Bloom variant of [[contaminated]] for when even the distinct bench
+   * gram set is too large to broadcast as strings (a multi-benchmark
+   * 13-gram set at production scale): the bench side aggregates into ONE
+   * Bloom filter over xxhash64(gram) (~1.2 bytes/gram at 1 % fpp vs tens
+   * of string bytes), and the training scan probes the broadcast blob.
+   *
+   * Error direction is the SAFE one for decontamination: a Bloom false
+   * positive can only OVER-flag (a clean doc dropped with probability
+   * ≤ fpp per distinct gram) — the result is a superset of the exact
+   * [[contaminated]] id set, never a miss (the spec asserts both the
+   * superset property and exact equality on a collision-free corpus).
+   * `n_hits` counts grams whose probe answered maybe — an upper bound
+   * on the exact count.
+   */
+  def contaminatedBloom(train: DataFrame, idCol: String, textCol: String,
+                        bench: DataFrame, benchTextCol: String, n: Int,
+                        expectedGrams: Long = 1L << 20,
+                        fpp: Double = 0.01): DataFrame = {
+    import graft.functions.gf
+    val bloom = benchGrams(bench, benchTextCol, n)
+      .agg(gf.bloom_agg(xxhash64(col("gram")), expectedGrams, fpp).as("__bloom"))
+    train
+      .select(col(idCol), explode(ngramSet(col(textCol), n)).as("gram"))
+      .crossJoin(broadcast(bloom))
+      .filter(gf.might_contain(col("__bloom"), xxhash64(col("gram"))))
+      .groupBy(idCol).agg(count("*").as("n_hits"))
+  }
 }

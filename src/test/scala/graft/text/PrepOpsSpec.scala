@@ -171,6 +171,23 @@ class PrepOpsSpec extends SparkTestBase {
     assert(c(3) == ((4L, 0L, 0L, "")) && c(4) == ((5L, 0L, 0L, "")))
   }
 
+  test("decontaminate bloom variant: ⊇ exact, == exact without collisions") {
+    val bench = Seq((100L, "the quick brown fox jumps high")).toDF("doc_id", "text")
+    val train = (0L until 200L).map { i =>
+      val extra = if (i % 9 == 0) " the quick brown" else ""
+      (i, s"doc w${i}a w${i}b body text goes here$extra")
+    }.toDF("doc_id", "text")
+    val exact = Decontaminate.contaminated(train, "doc_id", "text", bench, "text", 3)
+      .as[(Long, Long)].collect().toMap
+    val bloom = Decontaminate.contaminatedBloom(train, "doc_id", "text", bench, "text", 3)
+      .as[(Long, Long)].collect().toMap
+    assert(exact.keySet.subsetOf(bloom.keySet)) // never a miss
+    assert(exact.forall { case (id, h) => bloom(id) >= h }) // upper bound
+    // at 4 bench grams / 1% fpp the planted corpus is collision-free
+    assert(bloom == exact)
+    assert(exact.keySet == (0L until 200L).filter(_ % 9 == 0).toSet)
+  }
+
   // ---------- Composed prep stack ----------
 
   test("prep stack: every stage drops exactly its planted victim") {
