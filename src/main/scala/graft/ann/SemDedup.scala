@@ -74,11 +74,13 @@ object SemDedup {
       idCol, vecCol, tau, maxClusterSize)
   }
 
-  /** Surviving corpus after semantic dedup. */
+  /** Surviving corpus after semantic dedup (same knobs as [[dropped]] so
+    * a cap-tuned dropped set always has a matching survivor set). */
   def survivors(vectors: DataFrame, idCol: String, vecCol: String,
-                k: Int, tau: Double, iters: Int = 2): DataFrame =
+                k: Int, tau: Double, iters: Int = 2,
+                maxClusterSize: Int = 10000): DataFrame =
     vectors.join(
-      dropped(vectors, idCol, vecCol, k, tau, iters)
+      dropped(vectors, idCol, vecCol, k, tau, iters, maxClusterSize)
         .select(col("id").as(idCol)),
       Seq(idCol), "left_anti")
 }

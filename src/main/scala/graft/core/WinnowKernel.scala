@@ -2,7 +2,6 @@ package graft.core
 
 import java.nio.charset.StandardCharsets
 import java.security.MessageDigest
-import java.util.Locale
 
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.unsafe.types.UTF8String
@@ -32,7 +31,9 @@ object WinnowKernel {
   }
 
   def fingerprints(text: UTF8String, k: Int, w: Int): ArrayData = {
-    val lowered = text.toString.toLowerCase(Locale.ROOT)
+    // no-arg toLowerCase == Spark lower()'s non-ASCII path (default
+    // locale on both sides); Locale.ROOT would diverge on tr_TR hosts
+    val lowered = text.toString.toLowerCase
     val sb = new java.lang.StringBuilder(lowered.length)
     var i = 0
     while (i < lowered.length) {

@@ -20,12 +20,8 @@ object Decontaminate {
 
   /** Word n-grams of `textCol`, distinct, as an array column. Docs with
     * fewer than n words yield an empty array. */
-  def ngramSet(textCol: Column, n: Int): Column = {
-    val ws = TextOps.words(textCol)
-    val g = array_distinct(transform(sequence(lit(1), size(ws) - (n - 1)),
-      i => array_join(slice(ws, i, lit(n)), " ")))
-    when(size(ws) >= n, g).otherwise(array().cast("array<string>"))
-  }
+  def ngramSet(textCol: Column, n: Int): Column =
+    array_distinct(TextOps.wordNgrams(TextOps.words(textCol), n))
 
   /** Distinct benchmark grams — the (small) broadcast side. */
   def benchGrams(bench: DataFrame, textCol: String, n: Int): DataFrame =

@@ -25,15 +25,11 @@ import org.apache.spark.sql.functions._
  */
 object Repetition {
 
-  /** Word n-grams tagged with n, as array<struct<n:int,gram:string>>.
-    * Docs with fewer than n words yield an empty array (the `when`
-    * guard keeps `sequence` from ever seeing a negative bound). */
-  private def taggedGrams(words: Column, n: Int): Column = {
-    val g = transform(sequence(lit(1), size(words) - (n - 1)),
-      i => struct(lit(n).as("n"), array_join(slice(words, i, lit(n)), " ").as("gram")))
-    when(size(words) >= n, g)
-      .otherwise(array().cast("array<struct<n:int,gram:string>>"))
-  }
+  /** Word n-grams tagged with n, as array<struct<n:int,gram:string>>
+    * (built on the shared guarded [[TextOps.wordNgrams]]). */
+  private def taggedGrams(words: Column, n: Int): Column =
+    transform(TextOps.wordNgrams(words, n),
+      g => struct(lit(n).as("n"), g.as("gram")))
 
   /**
    * Per-document repetition metrics over `textCol`:

@@ -25,6 +25,16 @@ object TextOps {
   def words(text: Column): Column =
     filter(split(lower(text), "[^a-z]+"), w => w =!= "")
 
+  /** Word n-grams of a `words` array, space-joined — the ONE guarded
+    * builder shared by decontamination, repetition, and the oracles'
+    * SQL mirror. Fewer than n words → empty array (the `when` keeps
+    * ANSI `sequence` from ever seeing a negative upper bound). */
+  def wordNgrams(words: Column, n: Int): Column = {
+    val g = transform(sequence(lit(1), size(words) - (n - 1)),
+      i => array_join(slice(words, i, lit(n)), " "))
+    when(size(words) >= n, g).otherwise(array().cast("array<string>"))
+  }
+
   // Per-language stopword marker sets for the n-gram/stopword heuristic
   // language classifier. Small on purpose: deterministic, SQL-expressible.
   val stopwords: Map[String, Seq[String]] = Map(
