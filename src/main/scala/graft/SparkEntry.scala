@@ -10,7 +10,7 @@ import graft.frontier.{Crawler, CrawlRound}
 import graft.extract.{Classify, Dedup, FacilityExtract, Validation}
 import graft.functions.UrlPredicates
 import graft.sources.Sitemap
-import graft.text.{Chunker, Decontaminate, LineDedup, Packing, Pii, PrepStack, Repetition, Sampling, TextOps, TextPipeline}
+import graft.text.{Chunker, Decontaminate, LineDedup, Packing, Pii, PrepStack, Repetition, Sampling, TextOps, TextPipeline, Tfidf, UnigramLm}
 import graft.dedup.{DupClusters, NearDup}
 import graft.ann.{SemDedup, Similarity}
 import graft.multimodal.MediaOps
@@ -636,7 +636,17 @@ object SparkEntry {
           percentile(col("ws"), lit(0.5)).as("p50_tokens"),
           percentile(col("ws"), lit(0.9)).as("p90_tokens"),
           round(avg("q"), 4).as("avg_quality"))
-        .orderBy("lang"))
+        .orderBy("lang")),
+
+    "q54_tfidf" -> ((s, dir) => // smoothed TF-IDF top-5 keywords per doc
+      Tfidf.topTerms(T(s, dir, "documents").select("doc_id", "text"),
+          "doc_id", "text", k = 5)
+        .orderBy("doc_id", "rank")),
+
+    "q55_unigram_nll" -> ((s, dir) => // corpus-unigram −avg ln p (CCNet-style)
+      UnigramLm.score(T(s, dir, "documents").select("doc_id", "text"),
+          "doc_id", "text")
+        .orderBy("doc_id"))
   )
 
   /** DuckDB word list — identical to [[TextOps.words]]. */
@@ -994,6 +1004,32 @@ object SparkEntry {
         |FROM (SELECT *, CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 4)
         |    AS BIGINT) / 65536.0 AS b FROM r)
         |WHERE sample_rank <= 15 ORDER BY doc_id""".stripMargin,
+    // q54 oracle: identical smoothed idf and ROUNDED-score tie-break
+    "q54_tfidf" ->
+      s"""WITH w AS (SELECT doc_id, $wordsSql AS words FROM documents),
+         |t AS (SELECT doc_id, unnest(words) AS term FROM w),
+         |tf AS (SELECT doc_id, term, count(*) AS tf FROM t GROUP BY 1, 2),
+         |dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+         |n AS (SELECT count(*) AS c FROM documents),
+         |s AS (SELECT doc_id, term, tf, df,
+         |   round(tf * (ln((c + 1.0) / (df + 1.0)) + 1.0), 4) AS score
+         | FROM tf JOIN dfq USING (term), n),
+         |r AS (SELECT *, CAST(row_number() OVER (
+         |   PARTITION BY doc_id ORDER BY score DESC, term) AS INT) AS rank FROM s)
+         |SELECT doc_id, term, tf, df, score, rank FROM r
+         |WHERE rank <= 5 ORDER BY doc_id, rank""".stripMargin,
+    // q55 oracle: identical unigram model from the corpus's own counts
+    "q55_unigram_nll" ->
+      s"""WITH w AS (SELECT doc_id, $wordsSql AS words FROM documents),
+         |e AS (SELECT doc_id, unnest(words) AS term FROM w),
+         |tot AS (SELECT count(*)::DOUBLE AS t FROM e),
+         |m AS (SELECT term, count(*) AS cnt FROM e GROUP BY term),
+         |s AS (SELECT e.doc_id, -ln(m.cnt / (SELECT t FROM tot)) AS lp
+         |  FROM e JOIN m USING (term)),
+         |agg AS (SELECT doc_id, count(*) AS nw, avg(lp) AS alp FROM s GROUP BY doc_id)
+         |SELECT w.doc_id, CAST(coalesce(agg.nw, 0) AS BIGINT) AS n_words,
+         |  round(coalesce(agg.alp, 0.0), 4) AS nll
+         |FROM w LEFT JOIN agg USING (doc_id) ORDER BY doc_id""".stripMargin,
     // q48 oracle: identical 3-copy corpus and all-pairs exact-jaccard
     // edge set (the q25 recall argument), then min-label reachability via
     // a recursive CTE — UNION dedup bounds the recursion at the closure

@@ -188,6 +188,31 @@ class PrepOpsSpec extends SparkTestBase {
     assert(exact.keySet == (0L until 200L).filter(_ % 9 == 0).toSet)
   }
 
+  // ---------- Corpus term weighting ----------
+
+  test("tfidf: hand-computed smoothed scores, rounded-score tie-break") {
+    val docs = Seq((1L, "apple banana apple"), (2L, "banana cherry"),
+      (3L, "cherry cherry cherry")).toDF("doc_id", "text")
+    val r = Tfidf.topTerms(docs, "doc_id", "text", k = 2)
+      .orderBy("doc_id", "rank")
+      .select("doc_id", "term", "tf", "df", "score", "rank")
+      .as[(Long, String, Long, Long, Double, Int)].collect().toSeq
+    // N=3; idf(apple)=ln(4/2)+1, idf(banana)=idf(cherry)=ln(4/3)+1
+    assert(r == Seq(
+      (1L, "apple", 2L, 1L, 3.3863, 1), (1L, "banana", 1L, 2L, 1.2877, 2),
+      (2L, "banana", 1L, 2L, 1.2877, 1), (2L, "cherry", 1L, 2L, 1.2877, 2), // tie → term asc
+      (3L, "cherry", 3L, 2L, 3.863, 1)))
+  }
+
+  test("unigram nll: corpus-derived probabilities, wordless doc scores 0") {
+    val docs = Seq((1L, "apple banana apple"), (2L, "banana cherry"),
+      (3L, "cherry cherry cherry"), (4L, "!!!")).toDF("doc_id", "text")
+    val r = UnigramLm.score(docs, "doc_id", "text")
+      .orderBy("doc_id").as[(Long, Long, Double)].collect().toSeq
+    // 8 tokens: p(apple)=p(banana)=.25, p(cherry)=.5
+    assert(r == Seq((1L, 3L, 1.3863), (2L, 2L, 1.0397), (3L, 3L, 0.6931), (4L, 0L, 0.0)))
+  }
+
   // ---------- Composed prep stack ----------
 
   test("prep stack: every stage drops exactly its planted victim") {
