@@ -646,7 +646,26 @@ object SparkEntry {
     "q55_unigram_nll" -> ((s, dir) => // corpus-unigram −avg ln p (CCNet-style)
       UnigramLm.score(T(s, dir, "documents").select("doc_id", "text"),
           "doc_id", "text")
-        .orderBy("doc_id"))
+        .orderBy("doc_id")),
+
+    "q56_cluster_best" -> ((s, dir) => { // keep-the-BEST-copy cluster dedup
+      // q48's cluster construction, but survivors are chosen by argmax
+      // token count (ties → min id) instead of min id — the production
+      // rule that keeps the longest/highest-quality duplicate
+      val docs = T(s, dir, "documents").select("doc_id", "text")
+        .orderBy("doc_id").limit(1000)
+        .repartition(col("doc_id"))
+      val withCopies = docs
+        .unionByName(docs.withColumn("doc_id", col("doc_id") + 1000000L))
+        .unionByName(docs.withColumn("doc_id", col("doc_id") + 2000000L))
+      val edges = NearDup.nearDupPairs(withCopies, "doc_id", "text",
+        threshold = 0.8, numPerms = 64, bands = 16, k = 5)
+      DupClusters.survivorsBy(withCopies, "doc_id", edges,
+          TextOps.tokenCountWs(col("text")))
+        .select(col("doc_id"),
+          TextOps.tokenCountWs(col("text")).cast("long").as("n_tok"))
+        .orderBy("doc_id")
+    })
   )
 
   /** DuckDB word list — identical to [[TextOps.words]]. */
@@ -931,6 +950,26 @@ object SparkEntry {
        | (SELECT CAST(coalesce(sum(n), 0) AS BIGINT) FROM tok) AS n_tokens""".stripMargin
   }
 
+  /** Shared q48/q56 oracle prefix: the 3-copy corpus, its all-pairs
+    * exact-jaccard edge set, and min-label reachability (`r`). */
+  private def q48Cte: String =
+    s"""WITH RECURSIVE
+       |d0 AS (SELECT doc_id, text FROM documents ORDER BY doc_id LIMIT 1000),
+       |d AS (SELECT doc_id, text FROM d0
+       |  UNION ALL SELECT doc_id + 1000000, text FROM d0
+       |  UNION ALL SELECT doc_id + 2000000, text FROM d0),
+       |w AS (SELECT doc_id, $duckWords AS words FROM d),
+       |sh AS (SELECT doc_id, ${duckShingles(5)} AS s FROM w),
+       |p AS (SELECT a.doc_id AS u, b.doc_id AS v FROM sh a JOIN sh b
+       |  ON a.doc_id < b.doc_id
+       |  WHERE len(list_intersect(a.s, b.s)) * 1.0
+       |    / len(list_distinct(list_concat(a.s, b.s))) >= 0.8),
+       |e AS (SELECT u, v FROM p UNION ALL SELECT v, u FROM p),
+       |r(id, lbl) AS (
+       |  SELECT DISTINCT u, u FROM e
+       |  UNION
+       |  SELECT e.u, r.lbl FROM e JOIN r ON r.id = e.v)""".stripMargin
+
   /** Golden-fixture oracle (see [[GenDriverFixtures]]): the query has no
     * sf-table input (deterministic synthetic corpus + custom expressions
     * DuckDB cannot evaluate), so its once-pinned result parquet IS the
@@ -1034,24 +1073,22 @@ object SparkEntry {
     // edge set (the q25 recall argument), then min-label reachability via
     // a recursive CTE — UNION dedup bounds the recursion at the closure
     "q48_dup_clusters" ->
-      s"""WITH RECURSIVE
-         |d0 AS (SELECT doc_id, text FROM documents ORDER BY doc_id LIMIT 1000),
-         |d AS (SELECT doc_id, text FROM d0
-         |  UNION ALL SELECT doc_id + 1000000, text FROM d0
-         |  UNION ALL SELECT doc_id + 2000000, text FROM d0),
-         |w AS (SELECT doc_id, $duckWords AS words FROM d),
-         |sh AS (SELECT doc_id, ${duckShingles(5)} AS s FROM w),
-         |p AS (SELECT a.doc_id AS u, b.doc_id AS v FROM sh a JOIN sh b
-         |  ON a.doc_id < b.doc_id
-         |  WHERE len(list_intersect(a.s, b.s)) * 1.0
-         |    / len(list_distinct(list_concat(a.s, b.s))) >= 0.8),
-         |e AS (SELECT u, v FROM p UNION ALL SELECT v, u FROM p),
-         |r(id, lbl) AS (
-         |  SELECT DISTINCT u, u FROM e
-         |  UNION
-         |  SELECT e.u, r.lbl FROM e JOIN r ON r.id = e.v)
+      s"""$q48Cte
          |SELECT id AS doc_id, min(lbl) AS component
          |FROM r GROUP BY id ORDER BY doc_id""".stripMargin,
+    // q56 oracle: q48's components + keep-the-longest argmax per cluster
+    "q56_cluster_best" ->
+      s"""$q48Cte,
+         |comp AS (SELECT id, min(lbl) AS component FROM r GROUP BY id),
+         |tok AS (SELECT doc_id, CASE WHEN length(trim(text)) = 0 THEN 0
+         |  ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS t FROM d),
+         |ranked AS (SELECT comp.id, row_number() OVER (
+         |    PARTITION BY component ORDER BY tok.t DESC, comp.id ASC) AS rn
+         |  FROM comp JOIN tok ON tok.doc_id = comp.id),
+         |drops AS (SELECT id FROM ranked WHERE rn > 1)
+         |SELECT d.doc_id, CAST(tok.t AS BIGINT) AS n_tok
+         |FROM d JOIN tok USING (doc_id)
+         |WHERE d.doc_id NOT IN (SELECT id FROM drops) ORDER BY doc_id""".stripMargin,
     "q25_minhash_neardup" ->
       s"""WITH d0 AS (SELECT doc_id, text FROM documents ORDER BY doc_id LIMIT 1500),
          |d AS (SELECT doc_id, text FROM d0 UNION ALL SELECT doc_id + 1000000, text FROM d0),

@@ -1,6 +1,6 @@
 package graft.dedup
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /**
@@ -116,4 +116,26 @@ object DupClusters {
   /** Cluster summary: (component, size) with size ≥ 2. */
   def clusterSizes(edges: DataFrame): DataFrame =
     components(edges).groupBy("component").agg(count(lit(1)).as("size"))
+
+  /**
+   * Representative-by-rule survivors: keeps, per duplicate cluster, the
+   * member maximizing `rank(docs)` (ties → smallest id) — production
+   * dedup keeps the BEST copy (longest text, highest quality), not the
+   * smallest id. Isolated docs are always kept. One argmax hash agg per
+   * component: max(struct(rank, -id)) — deterministic under ties.
+   */
+  def survivorsBy(docs: DataFrame, idCol: String, edges: DataFrame,
+                  rank: Column): DataFrame = {
+    val comp = components(edges)
+    val chosen = docs
+      .join(comp, docs(idCol) === comp("id"))
+      .groupBy("component")
+      .agg(max(struct(rank.as("r"), (-col("id")).as("negId"))).as("__best"))
+      .select((-col("__best.negId")).as("__keep"))
+    // no broadcast hint: the dup set is unbounded at corpus scale — AQE
+    // picks broadcast when it fits, same as survivors()
+    val dropIds = comp.join(chosen, comp("id") === chosen("__keep"), "left_anti")
+      .select(col("id").as(idCol))
+    docs.join(dropIds, Seq(idCol), "left_anti")
+  }
 }

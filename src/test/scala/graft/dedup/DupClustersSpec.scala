@@ -67,6 +67,18 @@ class DupClustersSpec extends SparkTestBase {
     }
   }
 
+  test("survivorsBy keeps the argmax member per cluster, min id on ties") {
+    val docs = Seq(
+      (10L, "a b c"), (11L, "a b c d e"), (12L, "a"), // cluster: 11 longest
+      (20L, "x y"), (21L, "x y"),                     // tie → min id 20
+      (30L, "lonely isolated doc")).toDF("doc_id", "text")
+    val edges = Seq((10L, 11L), (11L, 12L), (20L, 21L)).toDF("idA", "idB")
+    val kept = DupClusters.survivorsBy(docs, "doc_id", edges,
+        graft.text.TextOps.tokenCountWs($"text"))
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(11L, 20L, 30L))
+  }
+
   test("duplicate and reversed input edges are harmless; empty edge set yields empty") {
     val edges = Seq((1L, 2L), (2L, 1L), (1L, 2L), (2L, 3L)).toDF("idA", "idB")
     val got = DupClusters.components(edges).as[(Long, Long)].collect().toMap
