@@ -665,7 +665,14 @@ object SparkEntry {
         .select(col("doc_id"),
           TextOps.tokenCountWs(col("text")).cast("long").as("n_tok"))
         .orderBy("doc_id")
-    })
+    }),
+
+    "q57_weighted_mix" -> ((s, dir) => // per-source mixture acceptance rates
+      Sampling.weightedMix(T(s, dir, "documents").select("doc_id", "source"),
+          "doc_id", "source",
+          rates = Map("src0" -> 1.0, "src1" -> 0.5, "src2" -> 0.25),
+          defaultRate = 0.1)
+        .orderBy("doc_id"))
   )
 
   /** DuckDB word list — identical to [[TextOps.words]]. */
@@ -1043,6 +1050,14 @@ object SparkEntry {
         |FROM (SELECT *, CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 4)
         |    AS BIGINT) / 65536.0 AS b FROM r)
         |WHERE sample_rank <= 15 ORDER BY doc_id""".stripMargin,
+    // q57 oracle: identical md5 acceptance fraction and per-source rates
+    "q57_weighted_mix" ->
+      """SELECT doc_id, source FROM (SELECT doc_id, source,
+        |  CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS BIGINT)
+        |    / 65536.0 AS b FROM documents)
+        |WHERE b < (CASE source WHEN 'src0' THEN 1.0 WHEN 'src1' THEN 0.5
+        |  WHEN 'src2' THEN 0.25 ELSE 0.1 END)
+        |ORDER BY doc_id""".stripMargin,
     // q54 oracle: identical smoothed idf and ROUNDED-score tie-break
     "q54_tfidf" ->
       s"""WITH w AS (SELECT doc_id, $wordsSql AS words FROM documents),

@@ -42,20 +42,42 @@ object Sampling {
       .filter(col("sample_rank") <= quota)
   }
 
+  /** md5(id)'s first 4 hex digits mapped to [0, 1) — the shared stable
+    * acceptance fraction (granularity 1/65536). */
+  private def hashFrac(id: Column): Column =
+    conv(substring(rankKey(id), 1, 4), 16, 10).cast("long") / 65536.0
+
   /**
-   * Stable split assignment: maps md5(id)'s first 4 hex digits to
-   * [0, 1) and labels train / val / test by cumulative fraction. Adds
-   * `split`. Fractions are granular to 1/65536.
+   * Stable split assignment: train / val / test by cumulative fraction
+   * of [[hashFrac]]. Adds `split`.
    */
   def hashSplit(docs: DataFrame, idCol: String,
                 trainFrac: Double, valFrac: Double): DataFrame = {
     require(trainFrac >= 0 && valFrac >= 0 && trainFrac + valFrac <= 1.0,
       s"invalid fractions train=$trainFrac val=$valFrac")
-    val bucket = conv(substring(rankKey(col(idCol)), 1, 4), 16, 10)
-      .cast("long") / 65536.0
+    val bucket = hashFrac(col(idCol))
     docs.withColumn("split",
       when(bucket < trainFrac, "train")
         .when(bucket < trainFrac + valFrac, "val")
         .otherwise("test"))
+  }
+
+  /**
+   * Deterministic mixture sampling: keep each row with its source's
+   * acceptance rate — THE dataset-mixing primitive (sample web at 0.3,
+   * books at 1.0, …). A pure scalar filter: row kept iff
+   * hashFrac(id) < rate(source); sources absent from `rates` use
+   * `defaultRate`. Seed-free and append-stable like every sampler here —
+   * a doc's verdict never changes as the corpus grows.
+   */
+  def weightedMix(docs: DataFrame, idCol: String, sourceCol: String,
+                  rates: Map[String, Double],
+                  defaultRate: Double = 0.0): DataFrame = {
+    require((rates.values ++ Seq(defaultRate)).forall(r => r >= 0 && r <= 1.0),
+      "acceptance rates must be in [0, 1]")
+    val rate = rates.foldLeft(lit(defaultRate)) { case (acc, (src, r)) =>
+      when(col(sourceCol) === src, r).otherwise(acc)
+    }
+    docs.filter(hashFrac(col(idCol)) < rate)
   }
 }

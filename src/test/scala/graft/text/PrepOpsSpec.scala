@@ -188,6 +188,25 @@ class PrepOpsSpec extends SparkTestBase {
     assert(exact.keySet == (0L until 200L).filter(_ % 9 == 0).toSet)
   }
 
+  test("weighted mix: per-source rates honored, subset-stable, rate 0/1 exact") {
+    val docs = (0L until 3000L).map(i => (i, s"src${i % 3}")).toDF("doc_id", "source")
+    val mixed = Sampling.weightedMix(docs, "doc_id", "source",
+      Map("src0" -> 1.0, "src1" -> 0.5, "src2" -> 0.0))
+    val byS = mixed.groupBy("source").count().as[(String, Long)].collect().toMap
+    assert(byS("src0") == 1000L)            // rate 1.0 keeps everything
+    assert(!byS.contains("src2"))           // rate 0.0 keeps nothing
+    assert(math.abs(byS("src1") - 500L) < 80)
+    // verdicts are per-id pure: a subset corpus keeps exactly the same ids
+    val sub = Sampling.weightedMix(docs.filter($"doc_id" < 1500), "doc_id", "source",
+      Map("src0" -> 1.0, "src1" -> 0.5, "src2" -> 0.0))
+      .select("doc_id").as[Long].collect().toSet
+    val full = mixed.select("doc_id").as[Long].collect().toSet
+    assert(sub == full.filter(_ < 1500))
+    // unknown source falls to defaultRate
+    assert(Sampling.weightedMix(docs, "doc_id", "source", Map.empty, defaultRate = 1.0)
+      .count() == 3000L)
+  }
+
   // ---------- Corpus term weighting ----------
 
   test("tfidf: hand-computed smoothed scores, rounded-score tie-break") {
