@@ -672,7 +672,21 @@ object SparkEntry {
           "doc_id", "source",
           rates = Map("src0" -> 1.0, "src1" -> 0.5, "src2" -> 0.25),
           defaultRate = 0.1)
-        .orderBy("doc_id"))
+        .orderBy("doc_id")),
+
+    "q58_snapshot_diff" -> ((s, dir) => { // CDC between two snapshots
+      // old = docs except id%5==4; new = docs except id%7==0, with
+      // id%3==0 texts modified — exercises all four statuses
+      val all = T(s, dir, "documents").select("doc_id", "text")
+      val oldSnap = all.filter(pmod(col("doc_id"), lit(5)) =!= 4)
+        .select(col("doc_id"), md5(col("text").cast("binary")).as("fp"))
+      val newSnap = all.filter(pmod(col("doc_id"), lit(7)) =!= 0)
+        .select(col("doc_id"), md5(concat(col("text"),
+          when(pmod(col("doc_id"), lit(3)) === 0, lit(" v2"))
+            .otherwise(lit(""))).cast("binary")).as("fp"))
+      frontier.SnapshotDiff.diff(oldSnap, newSnap, "doc_id", "fp")
+        .orderBy("doc_id")
+    })
   )
 
   /** DuckDB word list — identical to [[TextOps.words]]. */
@@ -1050,6 +1064,19 @@ object SparkEntry {
         |FROM (SELECT *, CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 4)
         |    AS BIGINT) / 65536.0 AS b FROM r)
         |WHERE sample_rank <= 15 ORDER BY doc_id""".stripMargin,
+    // q58 oracle: identical snapshot construction and full-outer compare
+    "q58_snapshot_diff" ->
+      """WITH o AS (SELECT doc_id, md5(text) AS fp FROM documents WHERE doc_id % 5 <> 4),
+        |n AS (SELECT doc_id, md5(text ||
+        |    CASE WHEN doc_id % 3 = 0 THEN ' v2' ELSE '' END) AS fp
+        |  FROM documents WHERE doc_id % 7 <> 0)
+        |SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+        |  CASE WHEN o.fp IS NULL THEN 'added'
+        |       WHEN n.fp IS NULL THEN 'removed'
+        |       WHEN o.fp <> n.fp THEN 'changed'
+        |       ELSE 'unchanged' END AS status
+        |FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id
+        |ORDER BY doc_id""".stripMargin,
     // q57 oracle: identical md5 acceptance fraction and per-source rates
     "q57_weighted_mix" ->
       """SELECT doc_id, source FROM (SELECT doc_id, source,
