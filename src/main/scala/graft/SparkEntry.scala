@@ -1046,11 +1046,12 @@ object SparkEntry {
         |    ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS tokens,
         |  doc_id % 8 AS pack_group FROM documents),
         |c AS (SELECT doc_id, tokens, pack_group,
-        |  coalesce(sum(tokens) OVER (PARTITION BY pack_group ORDER BY doc_id
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS before
+        |  CAST(coalesce(sum(tokens) OVER (PARTITION BY pack_group ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS before
         |  FROM t)
         |SELECT doc_id, tokens, pack_group,
-        |  before // 2048 AS seq_no, before % 2048 AS offset
+        |  CAST(before // 2048 AS BIGINT) AS seq_no,
+        |  CAST(before % 2048 AS BIGINT) AS offset
         |FROM c ORDER BY doc_id""".stripMargin,
     // q50 oracle: identical md5-hex rank key and 4-hex-digit split bucket
     "q50_quota_split" ->

@@ -45,6 +45,10 @@ object LineDedup {
    */
   def clean(docs: DataFrame, idCol: String, textCol: String,
             minDocs: Int): DataFrame = {
+    // broadcast is safe ONLY under the scaladoc's bound: |set| ≤
+    // total_lines/minDocs, which stays driver-sized only when minDocs
+    // scales with the corpus (fraction-style threshold). Callers pinning
+    // a small absolute minDocs at 100 TB must drop this hint.
     val bp = broadcast(frequentLines(docs, idCol, textCol, minDocs)
       .select(col("line"), lit(true).as("__bp")))
     docs

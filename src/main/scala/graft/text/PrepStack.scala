@@ -81,8 +81,11 @@ object PrepStack {
       cfg.numPerms, cfg.k).localCheckpoint(false)
     val pairs = TextPipeline.nearDupPairsFromSigs(sigs, idCol,
       cfg.numPerms, cfg.bands, cfg.threshold).localCheckpoint(false)
+    // both drop sets are unbounded at corpus scale (near-dup ids are
+    // O(duplicate docs), contaminated ids O(contaminated docs)) — no
+    // broadcast hint; AQE broadcasts when the set actually fits
     val ndSurvivors = exact.join(
-        broadcast(pairs.select(col("idB").as(idCol)).distinct()),
+        pairs.select(col("idB").as(idCol)).distinct(),
         Seq(idCol), "left_anti")
       .localCheckpoint(false)
 
@@ -90,7 +93,7 @@ object PrepStack {
         bench, benchTextCol, cfg.decontamN)
       .localCheckpoint(false)
     val survivors = ndSurvivors.join(
-      broadcast(contam.select(idCol)), Seq(idCol), "left_anti")
+      contam.select(idCol), Seq(idCol), "left_anti")
 
     redacted.agg(count(lit(1)).as("n_input"),
         count(when(col("__pii"), 1)).as("n_pii_docs"))

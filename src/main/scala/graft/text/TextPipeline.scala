@@ -121,8 +121,11 @@ object TextPipeline {
       .localCheckpoint(false)
     val pairs = nearDupPairsFromSigs(sigs, idCol, cfg.numPerms, cfg.bands, cfg.threshold)
       .localCheckpoint(false)
+    // the drop set is O(duplicate docs) — unbounded at corpus scale (20-50%
+    // dup rates on web text), so no broadcast hint: AQE picks broadcast when
+    // the set actually fits, shuffled anti-join otherwise
     val dropIds = pairs.select(col("idB").as(idCol)).distinct()
-    val survivors = exact.join(broadcast(dropIds), Seq(idCol), "left_anti")
+    val survivors = exact.join(dropIds, Seq(idCol), "left_anti")
       .localCheckpoint(false)
     PipelineResult(scored, filtered, exact, pairs, survivors, cfg)
   }
