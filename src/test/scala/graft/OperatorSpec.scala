@@ -308,6 +308,33 @@ class OperatorSpec extends SparkTestBase {
     assert(m1.map(f => (f.media_id, f.mean_luma)).toSeq ==
       m2.map(f => (f.media_id, f.mean_luma)).toSeq)
     assert(m1.forall(_.embedding.length == 16))
+    // decoded dims come from the actual PNG raster and match metadata
+    val metaDims = MediaOps.synthMedia(spark, 100L).filter(_.kind == "image")
+      .collect().map(r => r.media_id -> (r.width, r.height)).toMap
+    assert(m1.forall(f => metaDims(f.media_id) == (f.width, f.height)))
+  }
+
+  test("image decode is real: known PNGs round-trip exact luma") {
+    import java.awt.image.BufferedImage
+    import java.io.ByteArrayOutputStream
+    def png(rgb: Int, w: Int, h: Int): Array[Byte] = {
+      val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, rgb)
+      val bos = new ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos); bos.toByteArray
+    }
+    val rows = Seq(
+      MediaOps.MediaRow(1L, "image", png(0xFFFFFF, 8, 6), 8, 6, 0, 0), // white
+      MediaOps.MediaRow(2L, "image", png(0x000000, 5, 5), 5, 5, 0, 0), // black
+      MediaOps.MediaRow(3L, "image", Array[Byte](1, 2, 3), 4, 4, 0, 0)) // undecodable
+    val feats = MediaOps.imageFeatures(spark.createDataset(rows))
+      .collect().sortBy(_.media_id)
+    assert(feats.map(_.media_id).toSeq == Seq(1L, 2L)) // bad payload dropped
+    val white = feats(0); val black = feats(1)
+    assert((white.width, white.height, white.channels) == (8, 6, 3))
+    assert(math.abs(white.mean_luma - 1.0) < 1e-9)
+    assert(white.embedding.forall(v => math.abs(v - 1.0f) < 1e-6f))
+    assert(black.mean_luma == 0.0 && black.embedding.forall(_ == 0f))
     val frames = MediaOps.sampleFrames(MediaOps.synthMedia(spark, 100L), stride = 2)
     assert(frames.count() > 0)
     val perVideo = frames.groupByKey(_.media_id).count().collect()
