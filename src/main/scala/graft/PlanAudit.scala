@@ -74,9 +74,10 @@ object PlanAudit {
     println("==== incremental dedup: broadcast band probe, no store shuffle ====")
     val docs = spark.read.parquet(s"$dir/documents.parquet").select("doc_id", "text")
     val storeSigs = graft.text.TextPipeline.signatureShingles(
-      docs.filter($"doc_id" < 250), "doc_id", "text")
+      docs.filter($"doc_id" < 250), "doc_id", "text").drop("__shSet")
     val (surv, _) = graft.text.TextPipeline.incrementalDedup(
-      storeSigs, docs.filter($"doc_id" >= 250), "doc_id", "text")
+      storeSigs, docs.filter($"doc_id" < 250),
+      docs.filter($"doc_id" >= 250), "doc_id", "text")
     surv.explain("formatted")
 
     println("==== decontaminate: BROADCAST semi-join probe (corpus never shuffles) ====")

@@ -468,9 +468,14 @@ object SparkEntry {
         .unionByName(d0.filter(pmod(col("doc_id"), lit(13)) === 0)
           .select((col("doc_id") + 3000000L).as("doc_id"),
             concat_ws(" ", reverse(split(trim(col("text")), "\\s+"))).as("text")))
+      // slim store (signatures only); verify sets rehydrate from the
+      // ingested corpus (batch 1 = d0) by candidate id
       val empty = TextPipeline.signatureShingles(d0.limit(0), "doc_id", "text")
-      val (s1, sig1) = TextPipeline.incrementalDedup(empty, d0, "doc_id", "text")
-      val (s2, sig2) = TextPipeline.incrementalDedup(sig1, b2, "doc_id", "text")
+        .drop("__shSet")
+      val (s1, sig1) = TextPipeline.incrementalDedup(empty, d0.limit(0), d0,
+        "doc_id", "text")
+      val (s2, sig2) = TextPipeline.incrementalDedup(sig1, d0, b2,
+        "doc_id", "text")
       s1.agg(count("*").as("n_batch1_survivors"))
         .crossJoin(s2.agg(count("*").as("n_batch2_survivors")))
         .crossJoin(sig1.unionByName(sig2).agg(count("*").as("n_processed")))
@@ -515,6 +520,15 @@ object SparkEntry {
       // train = the rest. n=3 (not the production 13) because the ~30-word
       // synthetic vocab is what makes 3-gram collisions informative here.
       val d = T(s, dir, "documents").select("doc_id", "text")
+      // ASSERTED assumption (cheap one-pass agg): n=3 is only informative
+      // while the vocab stays tiny — on a real/open vocab 3-gram overlap
+      // between unrelated docs vanishes and this demo config silently
+      // turns vacuous. A corpus drift that grows the vocab now throws
+      // instead of flipping the query's meaning (VERDICT r2 item 8).
+      val vocab = d.select(explode(TextOps.words(col("text"))).as("w"))
+        .agg(countDistinct("w")).head().getLong(0)
+      require(vocab <= 100,
+        s"q46 decontamN=3 assumes a tiny synthetic vocab (~30 words); got $vocab distinct words — re-pick n for this corpus")
       Decontaminate.contaminated(
           d.filter(pmod(col("doc_id"), lit(10)) =!= 7), "doc_id", "text",
           d.filter(pmod(col("doc_id"), lit(10)) === 7), "text", n = 3)
@@ -617,7 +631,23 @@ object SparkEntry {
       // decontamN=5 (not the q46 demo's 3): on this ~30-word vocab every
       // doc shares a 3-gram with some bench doc (survivors would be 0);
       // 5-grams are near-disjoint across unrelated docs (the q25 argument)
-      // so only genuine bench near-dups are flagged
+      // so only genuine bench near-dups are flagged.
+      // ASSERTED assumptions (cheap aggs — VERDICT r2 item 8, so an sf
+      // change throws loudly instead of silently flipping semantics):
+      //   1. vocab tiny (the decontamN=5 choice above);
+      //   2. planted line-dedup thresholds stay on the intended side of
+      //      minDocsLine=50: rare-line df (≈ nTrain/97) < 50 ≤ footer df
+      //      (= nTrain). At sf≥1 the rare line would cross 50 and become
+      //      "boilerplate" — both engines would agree, silently.
+      val nTrain = all.agg(
+        sum(when(pmod(col("doc_id"), lit(10)) =!= 7, 1L).otherwise(0L)).as("nTrain"))
+        .head().getAs[Long]("nTrain")
+      val vocab52 = all.select(explode(TextOps.words(col("text"))).as("w"))
+        .agg(countDistinct("w")).head().getLong(0)
+      require(vocab52 <= 100,
+        s"q52 decontamN=5 assumes a tiny synthetic vocab; got $vocab52 distinct words")
+      require(nTrain >= 50 && nTrain.toDouble / 97 < 50,
+        s"q52 planted line-dedup thresholds flipped: nTrain=$nTrain (need 50 <= nTrain < 4850)")
       PrepStack.report(planted, "doc_id", "text", bench, "text",
         PrepStack.StackConfig(decontamN = 5))
     }),

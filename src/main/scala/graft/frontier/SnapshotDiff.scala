@@ -37,4 +37,56 @@ object SnapshotDiff {
               idCol: String, fpCol: String): DataFrame =
     diff(oldSnap, newSnap, idCol, fpCol)
       .groupBy("status").agg(count(lit(1)).as("n"))
+
+  /** Recrawl inputs composed from a CDC diff: a score-boosted frontier of
+    * `changed ∪ added` urls, and the seen set with `changed ∪ removed`
+    * hashes retired. */
+  final case class RecrawlPlan(frontier: DataFrame, retiredSeen: DataFrame,
+                               urlDiff: DataFrame)
+
+  /**
+   * Recrawl scheduling (the reference's 24 h cache-staleness semantics,
+   * crawl_config.py:12-14, generalized to CDC): diff two page-store
+   * snapshots on a content fingerprint and feed the result back into the
+   * crawl loop —
+   *
+   *   - `changed ∪ added` urls become next-round frontier entries with
+   *     `scoreBoost` added on top of their UrlScore, so the recrawl
+   *     outranks ordinary discovery under the politeness budget;
+   *   - `changed` hashes are RETIRED from seen (else the J1 filter would
+   *     drop the re-fetch) and `removed` hashes are retired so a later
+   *     rediscovery re-fetches rather than trusting a dead cache entry.
+   *
+   * Scale shape: snapshots reduce to (urlHash, fp, url) before the ONE
+   * full-outer equi-join on the 64-bit hash; seen retirement is a
+   * hash-only anti-join. Unchanged rows never reach the frontier.
+   */
+  def recrawlPlan(oldSnap: DataFrame, newSnap: DataFrame,
+                  urlCol: String, fpCol: String, seen: DataFrame,
+                  scoreBoost: Double = 1.0): RecrawlPlan = {
+    import graft.functions.gf
+    def keyed(snap: DataFrame, urlAs: String, fpAs: String) = snap
+      .select(col(urlCol).as(urlAs),
+        xxhash64(gf.canonicalize_url(col(urlCol))).as("urlHash"),
+        col(fpCol).as(fpAs))
+      .dropDuplicates("urlHash")
+    // two consumers (frontier + retirement) → lazy checkpoint: the
+    // full-outer diff join runs once
+    val d = keyed(oldSnap, "__urlOld", "__fpOld")
+      .join(keyed(newSnap, "__urlNew", "__fpNew"), Seq("urlHash"), "full_outer")
+      .select(col("urlHash"),
+        coalesce(col("__urlNew"), col("__urlOld")).as("url"),
+        when(col("__fpOld").isNull, "added")
+          .when(col("__fpNew").isNull, "removed")
+          .when(col("__fpOld") =!= col("__fpNew"), "changed")
+          .otherwise("unchanged").as("status"))
+      .localCheckpoint(false)
+    val frontier = CrawlRound.seedFrontier(
+        d.filter(col("status").isin("added", "changed")).select("url"))
+      .withColumn("score", col("score") + lit(scoreBoost))
+    val retired = seen.join(
+      d.filter(col("status").isin("changed", "removed")).select("urlHash"),
+      Seq("urlHash"), "left_anti")
+    RecrawlPlan(frontier, retired, d)
+  }
 }

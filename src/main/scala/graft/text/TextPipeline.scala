@@ -132,30 +132,43 @@ object TextPipeline {
 
   /**
    * Incremental near-dup dedup of a NEW batch against an append-only
-   * signature store — the 100 TB ingestion path (each snapshot deduped
-   * against every previously processed document WITHOUT re-shingling the
-   * old corpus).
+   * SLIM signature store — the 100 TB ingestion path (each snapshot
+   * deduped against every previously processed document WITHOUT
+   * re-shingling the old corpus, except for the candidate-bounded
+   * verify rehydration below).
    *
-   * Contract: `storeSigs` rows are [[signatureShingles]] output for every
-   * doc processed so far — INCLUDING docs that were themselves dropped as
-   * near-dups. Keeping dropped docs' signatures is what makes incremental
-   * processing EXACTLY equal to one-shot [[NearDup.dropNearDups]] over the
-   * union (its drop rule is "∃ earlier doc with J ≥ t", regardless of that
+   * Contract: `storeSigs` rows are slim signatures — (idCol,
+   * m0…m{numPerms-1}), NO shingle sets — for every doc processed so far,
+   * INCLUDING docs that were themselves dropped as near-dups. Keeping
+   * dropped docs' signatures is what makes incremental processing
+   * EXACTLY equal to one-shot [[NearDup.dropNearDups]] over the union
+   * (its drop rule is "∃ earlier doc with J ≥ t", regardless of that
    * earlier doc's own fate; Jaccard is not transitive, so a survivor-only
-   * store would leak dups of dropped docs). Batch ids must be greater than
-   * all store ids ("earlier" = smaller id).
+   * store would leak dups of dropped docs). `oldDocs` is the ingested
+   * corpus (idCol, textCol) covering every store id — raw text already
+   * lives in the corpus store, so this is a pointer, not extra state.
+   * Batch ids must be greater than all store ids ("earlier" = smaller id).
    *
-   * Scale shape: the store is never shuffled — candidates come from a
-   * band-bucket equi-join probing the store's derived bands with the
-   * BROADCAST batch bands (one store scan per batch; with the store's
-   * band index materialized parquet-partitioned by band, bucket-range
-   * file skipping applies). Verify rehydrates shingle sets by id for
-   * candidate rows only.
+   * Store growth is CONSTANT per doc: (numPerms+1) × 8 bytes ≈ 520 B at
+   * numPerms=64, independent of document length — ~5 TB of store per
+   * 10^10 docs, vs O(corpus tokens) (≈ the corpus itself) when shingle
+   * sets were carried. Verify sets for the old side are rehydrated by
+   * re-shingling ONLY the candidate rows: a broadcast semi-join of the
+   * candidate old-ids against the corpus, then [[NearDup.shingleHashes]]
+   * on those rows (already-distinct arrays, so rehydrated sets are
+   * set-identical to the batch side's collect_set).
    *
-   * Returns (surviving new docs, full batch signatures) — append the
+   * Scale shape: neither the store nor the corpus is ever shuffled —
+   * candidates come from a band-bucket equi-join probing the store's
+   * derived bands with the BROADCAST batch bands (one store scan per
+   * batch; with the store's band index materialized parquet-partitioned
+   * by band, bucket-range file skipping applies), and the corpus is
+   * scanned+probed once by the broadcast candidate-id semi-join.
+   *
+   * Returns (surviving new docs, slim batch signatures) — append the
    * latter to the store whether or not each doc survived.
    */
-  def incrementalDedup(storeSigs: DataFrame, newDocs: DataFrame,
+  def incrementalDedup(storeSigs: DataFrame, oldDocs: DataFrame, newDocs: DataFrame,
                        idCol: String, textCol: String,
                        cfg: PipelineConfig = PipelineConfig()): (DataFrame, DataFrame) = {
     val newSigs = signatureShingles(newDocs, idCol, textCol, cfg.numPerms, cfg.k)
@@ -173,23 +186,30 @@ object TextPipeline {
     // drop rule even if a caller violates the monotone-id-batches
     // contract (a new doc with a smaller id than a store dup survives,
     // as one-shot would keep it; the store row itself cannot be
-    // retracted — that half of an out-of-order ingest stays divergent)
+    // retracted — that half of an out-of-order ingest stays divergent).
+    // Two consumers (corpus semi-join + pair verify) → lazy checkpoint,
+    // so the store band probe runs exactly once.
     val crossCands = bands(storeSigs, "oldId")
       .join(broadcast(bands(newSigs, "newId")), Seq("band", "bucket"))
       .filter(col("oldId") < col("newId"))
       .select("oldId", "newId").distinct()
-    // rehydration: broadcast the candidate-bounded sides so the store is
-    // only ever scanned+probed — never shuffled — regardless of AQE
-    val withOldSets = storeSigs.select(col(idCol).as("oldId"), col("__shSet").as("shA"))
-      .join(broadcast(crossCands), Seq("oldId"))
+      .localCheckpoint(false)
+    // verify-set rehydration: re-shingle ONLY candidate old rows (the
+    // candidate set is bounded by batch bands; broadcast is safe)
+    val oldSets = oldDocs
+      .join(broadcast(crossCands.select(col("oldId").as(idCol)).distinct()),
+        Seq(idCol), "left_semi")
+      .select(col(idCol).as("oldId"),
+        NearDup.shingleHashes(col(textCol), cfg.k).as("shA"))
+    val candsWithOld = crossCands.join(broadcast(oldSets), Seq("oldId"))
     val crossDrops = newSigs.select(col(idCol).as("newId"), col("__shSet").as("shB"))
-      .join(broadcast(withOldSets), Seq("newId"))
+      .join(broadcast(candsWithOld), Seq("newId"))
       .filter(NearDup.jaccardOfSets(col("shA"), col("shB")) >= cfg.threshold)
       .select(col("newId").as(idCol))
     // drop list ⊆ candidate pairs ≪ batch — always the broadcast side
     val survivors = newDocs.join(
       broadcast(withinDrops.unionByName(crossDrops).distinct()), Seq(idCol), "left_anti")
-    (survivors, newSigs)
+    (survivors, newSigs.drop("__shSet"))
   }
 
   /** One-row per-stage accounting over a [[prepare]] result: input size,

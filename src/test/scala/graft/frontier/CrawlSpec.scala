@@ -263,6 +263,63 @@ class CrawlSpec extends SparkTestBase {
     assert(probed.order.filter($"fetchOk").count() == 1)
   }
 
+  test("recrawl scheduling: changed page re-fetched next round, unchanged not, removed retired") {
+    // v1 crawl done (fullCrawl). Pick three FETCHED pages deterministically:
+    // X will change, R will be removed, Y stays unchanged.
+    val fetchedPg = pages.withColumn("urlHash", gf.url_id($"url"))
+      .join(fullCrawl.order.select("urlHash"), Seq("urlHash"), "left_semi")
+      .orderBy("url").limit(3).collect()
+    val Array(xUrl, rUrl, yUrl) = fetchedPg.map(_.getAs[String]("url"))
+    val Array(xHash, rHash, yHash) = fetchedPg.map(_.getAs[Long]("urlHash"))
+    val aUrl = s"https://${new java.net.URI(xUrl).getHost}/brand-new-recrawl-page.html"
+
+    // v2 snapshot: X's content changes, R disappears, A appears
+    val v2 = pages.filter($"url" =!= rUrl)
+      .withColumn("text", when($"url" === xUrl,
+        concat($"text", lit(" updated content v2"))).otherwise($"text"))
+      .unionByName(pages.filter($"url" === xUrl)
+        .withColumn("url", lit(aUrl))
+        .withColumn("text", lit("fresh page content")))
+    val oldSnap = pages.select($"url", md5($"text").as("fp"))
+    val newSnap = v2.select($"url", md5($"text").as("fp"))
+
+    val plan = SnapshotDiff.recrawlPlan(oldSnap, newSnap, "url", "fp",
+      fullCrawl.seen, scoreBoost = 5.0)
+    val statuses = plan.urlDiff.select("url", "status")
+      .as[(String, String)].collect().toMap
+    assert(statuses(xUrl) == "changed" && statuses(rUrl) == "removed" &&
+      statuses(aUrl) == "added" && statuses(yUrl) == "unchanged")
+
+    // frontier = exactly {X, A}, score-boosted above plain seeding
+    val fUrls = plan.frontier.select("url").as[String].collect().toSet
+    assert(fUrls == Set(xUrl, aUrl), s"frontier=$fUrls")
+    val boosted = plan.frontier.filter($"url" === xUrl).select("score").as[Double].head()
+    val plain = CrawlRound.seedFrontier(Seq(xUrl).toDF("url"))
+      .select("score").as[Double].head()
+    assert(boosted == plain + 5.0)
+
+    // seen retirement: X and R retired, Y still seen
+    val retired = plan.retiredSeen.select("urlHash").as[Long].collect().toSet
+    assert(!retired.contains(xHash) && !retired.contains(rHash) && retired.contains(yHash))
+
+    // next round against the v2 store: X and A fetched, nothing else
+    val keyed2 = Crawler.keyPages(v2, 4)
+    val cands = SeenSet.filterUnseen(plan.frontier, plan.retiredSeen,
+      retired.size.toLong, crawlCfg)
+    val r = CrawlRound.run(99, cands, keyed2, robots, crawlCfg)
+    val fetchedNow = r.order.filter($"fetchOk").select("urlHash").as[Long].collect().toSet
+    assert(fetchedNow.contains(xHash), "changed page must be re-fetched")
+    assert(fetchedNow.size == 2, s"only X and A re-fetch, got $fetchedNow")
+    assert(!fetchedNow.contains(yHash), "unchanged page must NOT be re-fetched")
+    keyed2.unpersist()
+
+    // the retirement is the enabling step: against the UNRETIRED seen set
+    // the changed page would have been dropped by the J1 filter
+    val withoutRetire = SeenSet.filterUnseen(plan.frontier, fullCrawl.seen,
+      fullCrawl.seen.count(), crawlCfg)
+    assert(!withoutRetire.select("url").as[String].collect().toSet.contains(xUrl))
+  }
+
   test("cumulative per-site cap (L3) holds across rounds") {
     val capped = Crawler.crawl(spark, pages, robots, seeds,
       crawlCfg.copy(maxPagesPerSite = 30), 8, None, Some(keyed))

@@ -128,6 +128,57 @@ class StreamingCrawlSpec extends SparkTestBase {
       batch.order.select("urlHash").as[Long].collect().toSet)
   }
 
+  test("streaming incremental LSH dedup ≡ batch one-shot; store loaded once per query start") {
+    import graft.text.TextPipeline
+    val root = java.nio.file.Files.createTempDirectory("graft-sinc").toString
+    new java.io.File(s"$root/batches").mkdirs()
+    // planted corpus: period-9 base text → 9 distinct 5-shingles; appended
+    // words give controllable jaccards (the TextPipelineSpec construction)
+    val base = Seq.fill(9)("the quick data is good and fast for all").mkString(" ")
+    val other = "different vocabulary entirely with the unique zebra words making twelve tokens here"
+    val d1 = Seq((1L, base), (2L, base + " alpha beta")) // J(1,2)=9/11≈0.82 → 2 dropped
+    val d2 = Seq((3L, base + " alpha beta gamma delta"), // J(2,3)=11/13≈0.85 → dropped
+                                                         // via DROPPED doc 2 (J(1,3)=0.69)
+      (4L, other))                                       // survives
+    val d3 = Seq((5L, other + " extra"), (6L, base))     // 5 dropped via 4; 6 via 1
+    def writeDelta(rows: Seq[(Long, String)], name: String): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory(name).toString
+      rows.toDF("doc_id", "text").coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.copy(part.toPath,
+        java.nio.file.Paths.get(s"$root/batches/$name.parquet"))
+    }
+    val cfg = TextPipeline.PipelineConfig(numPerms = 64, bands = 32)
+    StreamingIncrementalDedup.storeLoads = 0
+    // phase 1: two deltas, one micro-batch each
+    writeDelta(d1, "d1")
+    val q1 = StreamingIncrementalDedup.start(spark, root, cfg)
+    q1.processAllAvailable()
+    writeDelta(d2, "d2")
+    q1.processAllAvailable()
+    q1.stop()
+    // phase 2: restart from checkpoint (state reload path), third delta
+    writeDelta(d3, "d3")
+    val q2 = StreamingIncrementalDedup.start(spark, root, cfg)
+    q2.processAllAvailable()
+    q2.stop()
+
+    val streamed = StreamingIncrementalDedup.readSurvivors(spark, root)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    val all = (d1 ++ d2 ++ d3).toDF("doc_id", "text")
+    val dropped = TextPipeline.nearDupPairsFromSigs(
+        TextPipeline.signatureShingles(all, "doc_id", "text", cfg.numPerms, cfg.k),
+        "doc_id", cfg.numPerms, cfg.bands, cfg.threshold)
+      .select("idB").distinct().as[Long].collect().toSet
+    val oneShot = (d1 ++ d2 ++ d3).map(_._1).filterNot(dropped.contains).sorted
+    assert(streamed == Seq(1L, 4L), s"streamed=$streamed")
+    assert(streamed == oneShot, s"stream=$streamed oneShot=$oneShot")
+    // incremental state: one full store load per query start, not per batch
+    assert(StreamingIncrementalDedup.storeLoads == 2,
+      s"expected 2 store loads (one per start), got ${StreamingIncrementalDedup.storeLoads}")
+  }
+
   test("warcMetrics (T7): tumbling per-host windows; late rows beyond the watermark dropped") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     def ts(s: String) = java.sql.Timestamp.valueOf(s"2026-01-01 $s")

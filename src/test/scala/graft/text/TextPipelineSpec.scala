@@ -83,9 +83,13 @@ class TextPipelineSpec extends SparkTestBase {
     val b2 = Seq((3L, enText + " alpha beta gamma delta"), (4L, enOther))
       .toDF("doc_id", "text")
     val empty = TextPipeline.signatureShingles(b1.limit(0), "doc_id", "text",
-      cfg.numPerms, cfg.k)
-    val (s1, sig1) = TextPipeline.incrementalDedup(empty, b1, "doc_id", "text", cfg)
-    val (s2, sig2) = TextPipeline.incrementalDedup(sig1, b2, "doc_id", "text", cfg)
+      cfg.numPerms, cfg.k).drop("__shSet")
+    val (s1, sig1) = TextPipeline.incrementalDedup(empty, b1.limit(0), b1,
+      "doc_id", "text", cfg)
+    val (s2, sig2) = TextPipeline.incrementalDedup(sig1, b1, b2,
+      "doc_id", "text", cfg)
+    // the store is SLIM: signatures only, no carried shingle sets
+    assert(!sig1.columns.contains("__shSet") && !sig2.columns.contains("__shSet"))
     assert(s1.select("doc_id").as[Long].collect().toSeq == Seq(1L))
     assert(s2.select("doc_id").as[Long].collect().sorted.toSeq == Seq(4L)) // 3 dropped via 2
     assert(sig1.count() == 2 && sig2.count() == 2) // store keeps dropped docs' sigs
@@ -135,14 +139,17 @@ class TextPipelineSpec extends SparkTestBase {
       val cut1 = 4 + math.floorMod(Synth.mix(seed), 8).toInt
       val cut2 = cut1 + 4 + math.floorMod(Synth.mix(seed + 7L), 8).toInt
       var store = TextPipeline.signatureShingles(df.limit(0), "doc_id", "text",
-        cfg.numPerms, cfg.k)
+        cfg.numPerms, cfg.k).drop("__shSet")
+      var ingested = df.limit(0) // the corpus grown batch-by-batch
       val surv = scala.collection.mutable.ArrayBuffer[Long]()
       Seq(texts.take(cut1), texts.slice(cut1, cut2), texts.drop(cut2).toSeq)
         .filter(_.nonEmpty).foreach { batch =>
-          val (s, sigs) = TextPipeline.incrementalDedup(store,
-            batch.toSeq.toDF("doc_id", "text"), "doc_id", "text", cfg)
+          val batchDf = batch.toSeq.toDF("doc_id", "text")
+          val (s, sigs) = TextPipeline.incrementalDedup(store, ingested,
+            batchDf, "doc_id", "text", cfg)
           surv ++= s.select("doc_id").as[Long].collect()
           store = store.unionByName(sigs)
+          ingested = ingested.unionByName(batchDf)
         }
       assert(surv.sorted.toSeq == oneShot, s"seed=$seed cuts=($cut1,$cut2)")
     }
