@@ -716,7 +716,55 @@ object SparkEntry {
             .otherwise(lit(""))).cast("binary")).as("fp"))
       frontier.SnapshotDiff.diff(oldSnap, newSnap, "doc_id", "fp")
         .orderBy("doc_id")
-    })
+    }),
+
+    "q59_recrawl_plan" -> ((s, dir) => { // CDC → recrawl frontier + seen retirement
+      // synthetic per-doc urls; old = %5≠4 snapshot, new = %5≠3 with %7==0
+      // contents changed. seen = exactly the old snapshot's url hashes.
+      // The oracle re-derives all six counts in SQL, so a green row proves
+      // the WHOLE composition: diff statuses, frontier = added ∪ changed,
+      // retired = seen − (changed ∪ removed).
+      val docs = T(s, dir, "documents").select("doc_id", "text")
+      val url = concat(lit("https://h"), pmod(col("doc_id"), lit(20)).cast("string"),
+        lit(".example.com/p"), col("doc_id").cast("string"))
+      val o = docs.filter(pmod(col("doc_id"), lit(5)) =!= 4)
+        .select(url.as("url"), md5(col("text").cast("binary")).as("fp"))
+      val n = docs.filter(pmod(col("doc_id"), lit(5)) =!= 3)
+        .select(url.as("url"),
+          md5(concat(col("text"),
+            when(pmod(col("doc_id"), lit(7)) === 0, lit(" v2")).otherwise(lit("")))
+            .cast("binary")).as("fp"))
+      val seen = o.select(xxhash64(gf.canonicalize_url(col("url"))).as("urlHash"))
+      val plan = frontier.SnapshotDiff.recrawlPlan(o, n, "url", "fp", seen,
+        scoreBoost = 5.0)
+      def st(v: String) = sum(when(col("status") === v, 1L).otherwise(0L))
+      plan.urlDiff.agg(st("added").as("n_added"), st("changed").as("n_changed"),
+          st("removed").as("n_removed"), st("unchanged").as("n_unchanged"))
+        .crossJoin(plan.frontier.agg(count(lit(1)).as("n_frontier")))
+        .crossJoin(plan.retiredSeen.agg(count(lit(1)).as("n_retired")))
+    }),
+
+    "q60_source_gate" -> ((s, dir) => { // host/source-level quality gate
+      // FineWeb-style whole-domain filtering: gate on the ROUNDED
+      // per-source mean (4dp is exact here: means are k/(10·|src|)) so
+      // the verdict can't hang on last-ulp summation order (q54 lesson)
+      val d = T(s, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          TextOps.qualityScore(col("text")).as("__q"))
+      // 0.76 splits the per-source means non-vacuously at sf0.001/0.01/0.1
+      // (observed spreads 0.736-0.82 / 0.712-0.82 / 0.7504-0.7972)
+      Sampling.sourceQualityGate(d, "source",
+          round(avg(col("__q")), 4), minMean = 0.76)
+        .select(col("doc_id"), col("source"), col("src_mean_q"), col("src_docs"))
+        .orderBy("doc_id")
+    }),
+
+    "q61_token_budget" -> ((s, dir) => // per-language token-budget sampling
+      Sampling.tokenBudgetSample(
+          T(s, dir, "documents").select(col("doc_id"), col("lang"),
+            TextOps.tokenCountWs(col("text")).cast("long").as("tokens")),
+          "doc_id", "lang", "tokens", budget = 2000L)
+        .orderBy("doc_id"))
   )
 
   /** DuckDB word list — identical to [[TextOps.words]]. */
@@ -1108,6 +1156,53 @@ object SparkEntry {
         |       ELSE 'unchanged' END AS status
         |FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id
         |ORDER BY doc_id""".stripMargin,
+    // q59 oracle: full recrawl-plan composition re-derived in SQL — diff
+    // statuses on synthetic urls, frontier = added ∪ changed, retired =
+    // |seen| − |changed ∪ removed| (seen = the old snapshot's hashes).
+    // CASTs: DuckDB sum() promotes to HUGEINT (the q49 gotcha).
+    "q59_recrawl_plan" ->
+      """WITH o AS (SELECT 'https://h' || CAST(doc_id % 20 AS VARCHAR) ||
+        |    '.example.com/p' || CAST(doc_id AS VARCHAR) AS url, md5(text) AS fp
+        |  FROM documents WHERE doc_id % 5 <> 4),
+        |n AS (SELECT 'https://h' || CAST(doc_id % 20 AS VARCHAR) ||
+        |    '.example.com/p' || CAST(doc_id AS VARCHAR) AS url,
+        |    md5(text || CASE WHEN doc_id % 7 = 0 THEN ' v2' ELSE '' END) AS fp
+        |  FROM documents WHERE doc_id % 5 <> 3),
+        |d AS (SELECT CASE WHEN o.fp IS NULL THEN 'added'
+        |    WHEN n.fp IS NULL THEN 'removed'
+        |    WHEN o.fp <> n.fp THEN 'changed'
+        |    ELSE 'unchanged' END AS status
+        |  FROM o FULL OUTER JOIN n ON o.url = n.url)
+        |SELECT
+        | CAST(sum(CASE WHEN status = 'added' THEN 1 ELSE 0 END) AS BIGINT) AS n_added,
+        | CAST(sum(CASE WHEN status = 'changed' THEN 1 ELSE 0 END) AS BIGINT) AS n_changed,
+        | CAST(sum(CASE WHEN status = 'removed' THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+        | CAST(sum(CASE WHEN status = 'unchanged' THEN 1 ELSE 0 END) AS BIGINT) AS n_unchanged,
+        | CAST(sum(CASE WHEN status IN ('added','changed') THEN 1 ELSE 0 END) AS BIGINT) AS n_frontier,
+        | CAST((SELECT count(*) FROM o)
+        |   - sum(CASE WHEN status IN ('changed','removed') THEN 1 ELSE 0 END) AS BIGINT) AS n_retired
+        |FROM d""".stripMargin,
+    // q60 oracle: identical per-source ROUNDED mean-quality gate
+    "q60_source_gate" ->
+      s"""WITH w AS (SELECT doc_id, source, text, $wordsSql AS words FROM documents),
+         |s AS (SELECT doc_id, source, ${qualitySqlOver("words")} AS q FROM w),
+         |g AS (SELECT source, round(avg(q), 4) AS src_mean_q,
+         |    CAST(count(*) AS BIGINT) AS src_docs FROM s GROUP BY source)
+         |SELECT doc_id, source, src_mean_q, src_docs FROM s JOIN g USING (source)
+         |WHERE src_mean_q >= 0.76 ORDER BY doc_id""".stripMargin,
+    // q61 oracle: identical md5-rank window cumsum and budget cut
+    "q61_token_budget" ->
+      """WITH t AS (SELECT doc_id, lang,
+        |  CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+        |    ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS BIGINT) AS tokens
+        |  FROM documents),
+        |c AS (SELECT doc_id, lang, tokens,
+        |  CAST(coalesce(sum(tokens) OVER (PARTITION BY lang
+        |    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS tokens_before
+        |  FROM t)
+        |SELECT doc_id, lang, tokens, tokens_before FROM c
+        |WHERE tokens_before + tokens <= 2000 ORDER BY doc_id""".stripMargin,
     // q57 oracle: identical md5 acceptance fraction and per-source rates
     "q57_weighted_mix" ->
       """SELECT doc_id, source FROM (SELECT doc_id, source,

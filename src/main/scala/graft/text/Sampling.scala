@@ -80,4 +80,50 @@ object Sampling {
     }
     docs.filter(hashFrac(col(idCol)) < rate)
   }
+
+  /**
+   * Source-level quality gate (the RefinedWeb/FineWeb move: judge the
+   * HOST, not just the document — a domain whose average page quality is
+   * junk is dropped wholesale, catching SEO farms whose individual pages
+   * pass per-doc gates). `meanExpr` is the per-source aggregate to gate
+   * on (e.g. `round(avg(quality), 4)` — round it so the verdict doesn't
+   * hang on last-ulp summation order); docs of sources with
+   * meanExpr < minMean are dropped. Adds `src_mean_q` and `src_docs`.
+   *
+   * Scale shape: the stats side is one hash agg to |sources| rows
+   * (hosts ≪ docs) — AQE broadcasts the gate join; the corpus is
+   * scanned once per side of the agg/join (twice total), never shuffled
+   * on a non-key column.
+   */
+  def sourceQualityGate(docs: DataFrame, srcCol: String, meanExpr: Column,
+                        minMean: Double): DataFrame = {
+    val stats = docs.groupBy(col(srcCol))
+      .agg(meanExpr.as("src_mean_q"), count(lit(1)).as("src_docs"))
+      .filter(col("src_mean_q") >= minMean)
+    docs.join(stats, Seq(srcCol))
+  }
+
+  /**
+   * Deterministic token-budget sampling (per-language corpus budgets):
+   * within each stratum, admit docs in (md5(id), id) order until the
+   * running token total would exceed `budget` — the largest prefix of
+   * the hash-shuffled stratum that fits. Append-stable like every
+   * sampler here: earlier-ranked docs' verdicts never change when the
+   * corpus grows (a new doc can only push LATER ranks over budget).
+   * Adds `tokens_before` (running total excluding the row itself).
+   *
+   * Scale shape: one window cumsum per stratum (strata are languages —
+   * bounded fanout, parallel across strata like [[graft.text.Packing]];
+   * no global sort).
+   */
+  def tokenBudgetSample(docs: DataFrame, idCol: String, strataCol: String,
+                        tokensCol: String, budget: Long): DataFrame = {
+    require(budget > 0, s"budget=$budget must be positive")
+    val w = Window.partitionBy(col(strataCol))
+      .orderBy(rankKey(col(idCol)).asc, col(idCol).asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    docs.withColumn("tokens_before",
+        coalesce(sum(col(tokensCol)).over(w), lit(0L)))
+      .filter(col("tokens_before") + col(tokensCol) <= budget)
+  }
 }

@@ -341,6 +341,54 @@ class PrepOpsSpec extends SparkTestBase {
     assert(sub.forall { case (id, sp) => full(id) == sp })
   }
 
+  test("source quality gate: whole sources dropped on rounded mean, stats carried") {
+    // src0 mean = 0.5, src1 mean = 0.9 → gate at 0.7 drops ALL of src0
+    val docs = (0L until 40L).map { i =>
+      val src = s"src${i % 2}"
+      (i, src, if (i % 2 == 0) 0.5 else 0.9)
+    }.toDF("doc_id", "source", "q")
+    val kept = Sampling.sourceQualityGate(docs, "source",
+      round(avg($"q"), 4), minMean = 0.7)
+    assert(kept.select("source").distinct().as[String].collect().toSeq == Seq("src1"))
+    assert(kept.count() == 20)
+    val row = kept.select("src_mean_q", "src_docs").distinct()
+      .as[(Double, Long)].head()
+    assert(row == ((0.9, 20L)))
+    // threshold above every mean → empty; below every mean → everything
+    assert(Sampling.sourceQualityGate(docs, "source",
+      round(avg($"q"), 4), 0.95).count() == 0)
+    assert(Sampling.sourceQualityGate(docs, "source",
+      round(avg($"q"), 4), 0.1).count() == 40)
+  }
+
+  test("token budget sample: per-stratum budget is the greedy md5-rank prefix") {
+    val docs = (0L until 60L).map(i => (i, s"lang${i % 2}", 10L + i % 3))
+      .toDF("doc_id", "lang", "tokens")
+    val budget = 100L
+    val kept = Sampling.tokenBudgetSample(docs, "doc_id", "lang", "tokens", budget)
+      .select("doc_id", "lang", "tokens", "tokens_before")
+      .as[(Long, String, Long, Long)].collect()
+    // budget respected per stratum
+    val perLang = kept.groupBy(_._2).view.mapValues(_.map(_._3).sum).toMap
+    assert(perLang.values.forall(_ <= budget), s"budget exceeded: $perLang")
+    // kept set == locally computed greedy prefix in (md5(id), id) order
+    def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    // strict prefix semantics: the running total counts EVERY ranked row
+    // (a too-big doc ends the stratum's intake; nothing later sneaks in)
+    val local = (0L until 60L).map(i => (i, s"lang${i % 2}", 10L + i % 3))
+      .groupBy(_._2).flatMap { case (_, rows) =>
+        var cum = 0L
+        rows.sortBy(r => (md5hex(r._1.toString), r._1)).flatMap { r =>
+          cum += r._3
+          if (cum <= budget) Some(r._1) else None
+        }
+      }.toSet
+    assert(kept.map(_._1).toSet == local)
+    // tokens_before is consistent: before + tokens ≤ budget on every row
+    assert(kept.forall(r => r._4 + r._3 <= budget))
+  }
+
   test("semdedup: cluster cap bounds the quadratic block deterministically") {
     val vecs = (0L until 50L).map(i => (i, Array.fill(8)(1.0f)))
       .toDF("vec_id", "embedding") // all identical → ONE cluster
