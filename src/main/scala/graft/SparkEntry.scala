@@ -10,7 +10,7 @@ import graft.frontier.{Crawler, CrawlRound}
 import graft.extract.{Classify, Dedup, FacilityExtract, Validation}
 import graft.functions.UrlPredicates
 import graft.sources.Sitemap
-import graft.text.{Chunker, Decontaminate, LineDedup, Packing, Pii, PrepStack, Repetition, Sampling, TextOps, TextPipeline, Tfidf, UnigramLm}
+import graft.text.{Chunker, Decontaminate, LineDedup, Packing, Pii, PrepStack, Repetition, Sampling, SpanScrub, TextOps, TextPipeline, Tfidf, UnigramLm}
 import graft.dedup.{DupClusters, NearDup}
 import graft.ann.{SemDedup, Similarity}
 import graft.multimodal.MediaOps
@@ -764,6 +764,16 @@ object SparkEntry {
           T(s, dir, "documents").select(col("doc_id"), col("lang"),
             TextOps.tokenCountWs(col("text")).cast("long").as("tokens")),
           "doc_id", "lang", "tokens", budget = 2000L)
+        .orderBy("doc_id")),
+
+    "q62_span_scrub" -> ((s, dir) => // cross-doc duplicate-span removal
+      // k=6, minDf=2: the natural corpus has ~1k duplicated 6-grams
+      // (47 docs touched, ~9% of tokens removed at sf0.01) — no planting
+      // needed; the md5 pins byte-exact span-cover removal cross-engine
+      SpanScrub.scrub(T(s, dir, "documents").select("doc_id", "text"),
+          "doc_id", "text", k = 6, minDf = 2)
+        .select(col("doc_id"), col("n_words"), col("n_removed"),
+          md5(col("clean_text").cast("binary")).as("clean_md5"))
         .orderBy("doc_id"))
   )
 
@@ -1203,6 +1213,27 @@ object SparkEntry {
         |  FROM t)
         |SELECT doc_id, lang, tokens, tokens_before FROM c
         |WHERE tokens_before + tokens <= 2000 ORDER BY doc_id""".stripMargin,
+    // q62 oracle: identical positional 6-grams, df filter, span cover
+    // (1-based positions both sides; DuckDB range is end-exclusive ≡
+    // Spark sequence(s, s+k-1); list_filter's index lambda is 1-based)
+    "q62_span_scrub" ->
+      """WITH w AS (SELECT doc_id,
+        |    CASE WHEN length(trim(text)) = 0 THEN []
+        |      ELSE regexp_split_to_array(trim(text), '\s+') END AS words
+        |  FROM documents),
+        |g AS (SELECT doc_id, CAST(i AS INT) AS pos,
+        |    array_to_string(words[CAST(i AS INT):CAST(i + 5 AS INT)], ' ') AS gram
+        |  FROM w, LATERAL unnest(range(1, len(words) - 6 + 2)) AS t(i)),
+        |d AS (SELECT gram FROM g GROUP BY gram HAVING count(DISTINCT doc_id) >= 2),
+        |s AS (SELECT doc_id, list(pos) AS starts FROM g JOIN d USING (gram) GROUP BY doc_id),
+        |c AS (SELECT w.doc_id, words,
+        |    list_distinct(flatten(list_transform(coalesce(starts, []),
+        |      st -> range(st, st + 6)))) AS rm
+        |  FROM w LEFT JOIN s USING (doc_id))
+        |SELECT doc_id, len(words) AS n_words, len(rm) AS n_removed,
+        |  md5(coalesce(array_to_string(list_filter(words,
+        |    (x, i) -> NOT list_contains(rm, i)), ' '), '')) AS clean_md5
+        |FROM c ORDER BY doc_id""".stripMargin,
     // q57 oracle: identical md5 acceptance fraction and per-source rates
     "q57_weighted_mix" ->
       """SELECT doc_id, source FROM (SELECT doc_id, source,

@@ -389,6 +389,33 @@ class PrepOpsSpec extends SparkTestBase {
     assert(kept.forall(r => r._4 + r._3 <= budget))
   }
 
+  test("span scrub: overlapping spans merge, boundaries exact, short docs untouched") {
+    // docs 1 and 2 share the 4-gram "aa bb cc dd" at different offsets;
+    // doc 1 also shares "cc dd ee ff" with doc 3 → overlapping spans in
+    // doc 1 merge into one cover [1..6]; doc 4 is unrelated; doc 5 is
+    // shorter than k (no grams, untouched even though it repeats words)
+    val docs = Seq(
+      (1L, "aa bb cc dd ee ff gg"),
+      (2L, "xx aa bb cc dd yy"),
+      (3L, "cc dd ee ff zz"),
+      (4L, "pp qq rr ss tt uu"),
+      (5L, "aa bb cc")
+    ).toDF("doc_id", "text")
+    val out = SpanScrub.scrub(docs, "doc_id", "text", k = 4, minDf = 2)
+      .select("doc_id", "n_words", "n_removed", "clean_text")
+      .as[(Long, Long, Long, String)].collect().sortBy(_._1).toSeq
+    assert(out == Seq(
+      (1L, 7L, 6L, "gg"),             // spans [1..4] ∪ [3..6] merge → keep pos 7
+      (2L, 6L, 4L, "xx yy"),          // span [2..5]
+      (3L, 5L, 4L, "zz"),             // span [1..4]
+      (4L, 6L, 0L, "pp qq rr ss tt uu"),
+      (5L, 3L, 0L, "aa bb cc")))      // < k words: no grams, never scrubbed
+    // positional grams carry multiplicity and 1-based starts
+    val g = SpanScrub.positionalGrams(docs.filter($"doc_id" === 1L),
+      "doc_id", "text", 4).select("pos", "gram").as[(Int, String)].collect().toSeq
+    assert(g.head == ((1, "aa bb cc dd")) && g.length == 4)
+  }
+
   test("semdedup: cluster cap bounds the quadratic block deterministically") {
     val vecs = (0L until 50L).map(i => (i, Array.fill(8)(1.0f)))
       .toDF("vec_id", "embedding") // all identical → ONE cluster
