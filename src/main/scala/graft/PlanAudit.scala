@@ -98,6 +98,17 @@ object PlanAudit {
       .select(($"doc_id" + 1).as("idA"), $"doc_id".as("idB"))
     graft.dedup.DupClusters.components(edges).explain("formatted")
 
+    println("==== span scrub: gram agg + semi probe, un-hinted dup set, HOF cover ====")
+    graft.text.SpanScrub.scrub(docs, "doc_id", "text", k = 6, minDf = 2)
+      .explain("formatted")
+
+    println("==== source gate: tiny stats agg, AQE-broadcast gate join ====")
+    graft.text.Sampling.sourceQualityGate(
+      spark.read.parquet(s"$dir/documents.parquet")
+        .select($"doc_id", $"source",
+          graft.text.TextOps.qualityScore($"text").as("q")),
+      "source", round(avg($"q"), 4), 0.76).explain("formatted")
+
     spark.stop()
   }
 }
