@@ -10,9 +10,9 @@ import graft.frontier.{Crawler, CrawlRound}
 import graft.extract.{Classify, Dedup, FacilityExtract, Validation}
 import graft.functions.UrlPredicates
 import graft.sources.Sitemap
-import graft.text.{Chunker, Decontaminate, LineDedup, Packing, Pii, PrepStack, Repetition, Sampling, SpanScrub, TextOps, TextPipeline, Tfidf, UnigramLm}
+import graft.text.{Chunker, Decontaminate, Dsir, LineDedup, Packing, Pii, PrepStack, Repetition, Sampling, SpanScrub, TextOps, TextPipeline, Tfidf, UnigramLm}
 import graft.dedup.{DupClusters, NearDup}
-import graft.ann.{SemDedup, Similarity}
+import graft.ann.{SemDedup, SemanticDecontaminate, Similarity}
 import graft.multimodal.MediaOps
 
 /**
@@ -774,7 +774,48 @@ object SparkEntry {
           "doc_id", "text", k = 6, minDf = 2)
         .select(col("doc_id"), col("n_words"), col("n_removed"),
           md5(col("clean_text").cast("binary")).as("clean_md5"))
-        .orderBy("doc_id"))
+        .orderBy("doc_id")),
+
+    "q63_dsir" -> ((s, dir) => { // DSIR importance resampling (Xie et al. '23)
+      // target = the src0 slice (the "quality reference" domain); raw =
+      // the whole corpus. Model = one 512-row hashed-bigram log-ratio
+      // table (broadcast); selection = deterministic Gumbel-top-100.
+      val docs = T(s, dir, "documents").select("doc_id", "source", "text")
+      val w = Dsir.importanceWeights(docs, "doc_id", "text",
+        docs.filter(col("source") === "src0"), "text", buckets = 512)
+      Dsir.select(w, "doc_id", k = 100)
+        .select(col("doc_id"), col("n_grams"), round(col("logw"), 4).as("logw"),
+          col("score"))
+        .orderBy(col("score").desc, col("doc_id").asc)
+    }),
+
+    "q64_semantic_decon" -> ((s, dir) => { // embedding-space decontamination
+      // bench = label-0 vectors (the "eval set"); corpus = the rest plus
+      // planted leaks (exact copies of even-id bench vectors, id+1e6 —
+      // the q30 planting pattern). Natural cross-label max cosine ≤ 0.55
+      // at every sf, so τ=0.95 flags exactly the planted leaks.
+      val v = T(s, dir, "embeddings").select("vec_id", "label", "embedding")
+      val bench = v.filter(col("label") === 0)
+      val corpus = v.filter(col("label") =!= 0).unionByName(
+        bench.filter(pmod(col("vec_id"), lit(2)) === 0)
+          .withColumn("vec_id", col("vec_id") + 1000000L))
+      SemanticDecontaminate.contaminated(corpus, "vec_id", "embedding",
+          bench, "embedding", threshold = 0.95)
+        .orderBy("vec_id")
+    }),
+
+    "q65_topic_quota" -> ((s, dir) => { // topic-balanced quota sampling
+      // cluster-balanced mixing: cap each embedding-LSH "topic" bucket's
+      // contribution (16 hyperplane buckets × quota 20) — the same ±1
+      // plane constants the q29 oracle mirrors in SQL, so the whole
+      // composition is DuckDB-checkable end to end.
+      val v = T(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding"))
+        .withColumn("bucket", Similarity.lshBucket(col("embedding"), 4, 64))
+      Sampling.quotaSample(v.select("vec_id", "bucket"), "vec_id", "bucket",
+          quota = 20)
+        .orderBy("vec_id")
+    })
   )
 
   /** DuckDB word list — identical to [[TextOps.words]]. */
@@ -825,6 +866,25 @@ object SparkEntry {
        |FROM bk WHERE bucket = (SELECT qb FROM q)
        |ORDER BY list_cosine_similarity(e, (SELECT qv FROM q)) DESC, vec_id ASC
        |LIMIT 10""".stripMargin
+  }
+
+  /** q65 oracle: the same ±1 plane constants as the Spark-side 4-plane
+    * topic bucket (bitwise-identical projections — the q29 proof), then
+    * the identical md5-rank quota window. */
+  private def q65OracleSql: String = {
+    val bucket = Similarity.planeSigns(planes = 4, dim = 64).zipWithIndex.map {
+      case (row, p) =>
+        val arr = row.map(v => if (v > 0) "1.0" else "-1.0").mkString("[", ",", "]")
+        s"(CASE WHEN list_dot_product(e, $arr) > 0 THEN CAST(${1L << p} AS BIGINT) ELSE 0 END)"
+    }.mkString(" + ")
+    s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+       |bk AS (SELECT vec_id, $bucket AS bucket FROM v),
+       |r AS (SELECT vec_id, bucket, CAST(row_number() OVER (
+       |    PARTITION BY bucket
+       |    ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS INT) AS sample_rank
+       |  FROM bk)
+       |SELECT vec_id, bucket, sample_rank FROM r
+       |WHERE sample_rank <= 20 ORDER BY vec_id""".stripMargin
   }
 
   /** Per-language stopword hits over an arbitrary words-list expression
@@ -1234,6 +1294,53 @@ object SparkEntry {
         |  md5(coalesce(array_to_string(list_filter(words,
         |    (x, i) -> NOT list_contains(rm, i)), ' '), '')) AS clean_md5
         |FROM c ORDER BY doc_id""".stripMargin,
+    // q63 oracle: the whole DSIR pipeline re-derived — identical hashed
+    // unigram+bigram buckets (md5-hex-8 % 512), add-1 smoothed log-ratio
+    // model, per-doc weight sum, md5-derived Gumbel, top-100 on the
+    // ROUNDED score (DuckDB range(a,b) is empty for b<=a, so short docs
+    // need no bigram guard; sums feeding output are CAST — the q49 lesson)
+    "q63_dsir" ->
+      s"""WITH w AS (SELECT doc_id, source, $wordsSql AS words FROM documents),
+         |gr AS (SELECT doc_id, source, unnest(words ||
+         |    list_transform(range(1, len(words)),
+         |      i -> words[i] || ' ' || words[i + 1])) AS gram FROM w),
+         |b AS (SELECT doc_id, source,
+         |    CAST('0x' || substring(md5(gram), 1, 8) AS BIGINT) % 512 AS bucket
+         |  FROM gr),
+         |db AS (SELECT doc_id, bucket, CAST(count(*) AS BIGINT) AS cnt
+         |  FROM b GROUP BY 1, 2),
+         |rc AS (SELECT bucket, CAST(sum(cnt) AS BIGINT) AS rc FROM db GROUP BY 1),
+         |tc AS (SELECT bucket, CAST(count(*) AS BIGINT) AS tc FROM b
+         |  WHERE source = 'src0' GROUP BY 1),
+         |tot AS (SELECT (SELECT CAST(sum(rc) AS DOUBLE) FROM rc) AS rt,
+         |               (SELECT CAST(sum(tc) AS DOUBLE) FROM tc) AS tt),
+         |lam AS (SELECT rc.bucket,
+         |    ln((coalesce(tc.tc, 0) + 1.0) / (tt + 512.0))
+         |      - ln((rc.rc + 1.0) / (rt + 512.0)) AS lam
+         |  FROM rc LEFT JOIN tc USING (bucket), tot),
+         |dw AS (SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_grams,
+         |    sum(cnt * lam) AS lw FROM db JOIN lam USING (bucket) GROUP BY 1),
+         |g8 AS (SELECT doc_id, n_grams, lw,
+         |    -ln(-ln((CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 4)
+         |      AS BIGINT) + 0.5) / 65536.0)) AS gum FROM dw)
+         |SELECT doc_id, n_grams, round(lw, 4) AS logw,
+         |  round(lw + gum, 4) AS score
+         |FROM g8 ORDER BY round(lw + gum, 4) DESC, doc_id LIMIT 100""".stripMargin,
+    // q64 oracle: identical bench/corpus/planting construction; max-then-
+    // round on both sides; margins are decisive (planted = 1.0, natural
+    // cross-label max ≤ 0.55 at every sf)
+    "q64_semantic_decon" ->
+      """WITH v AS (SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings),
+        |bench AS (SELECT e FROM v WHERE label = 0),
+        |corp AS (SELECT vec_id, e FROM v WHERE label <> 0
+        |  UNION ALL
+        |  SELECT vec_id + 1000000, e FROM v WHERE label = 0 AND vec_id % 2 = 0),
+        |m AS (SELECT c.vec_id,
+        |    round(max(list_cosine_similarity(c.e, b.e)), 4) AS max_cos
+        |  FROM corp c CROSS JOIN bench b GROUP BY 1)
+        |SELECT vec_id, max_cos FROM m WHERE max_cos >= 0.95
+        |ORDER BY vec_id""".stripMargin,
+    "q65_topic_quota" -> q65OracleSql,
     // q57 oracle: identical md5 acceptance fraction and per-source rates
     "q57_weighted_mix" ->
       """SELECT doc_id, source FROM (SELECT doc_id, source,
