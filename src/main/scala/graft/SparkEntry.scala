@@ -815,7 +815,32 @@ object SparkEntry {
       Sampling.quotaSample(v.select("vec_id", "bucket"), "vec_id", "bucket",
           quota = 20)
         .orderBy("vec_id")
-    })
+    }),
+
+    "q66_leakfree_split" -> ((s, dir) => { // cluster-aware train/val/test
+      // the q48 3-copy corpus: every base doc seeds a {i, i+1M, i+2M}
+      // clique, so a per-doc hash split WOULD scatter copies across
+      // splits; splitting by the component representative provably
+      // cannot. Same LSH params as q48 — identical edge set.
+      val docs = T(s, dir, "documents").select("doc_id", "text")
+        .orderBy("doc_id").limit(1000)
+        .repartition(col("doc_id"))
+      val withCopies = docs
+        .unionByName(docs.withColumn("doc_id", col("doc_id") + 1000000L))
+        .unionByName(docs.withColumn("doc_id", col("doc_id") + 2000000L))
+      val edges = NearDup.nearDupPairs(withCopies, "doc_id", "text",
+        threshold = 0.8, numPerms = 64, bands = 16, k = 5)
+      DupClusters.leakageFreeSplit(withCopies.select("doc_id"), "doc_id",
+          edges, trainFrac = 0.8, valFrac = 0.1)
+        .select("doc_id", "split_key", "split")
+        .orderBy("doc_id")
+    }),
+
+    "q67_shuffle_shard" -> ((s, dir) => // deterministic training-order shards
+      Sampling.shuffleShard(T(s, dir, "documents").select("doc_id"),
+          "doc_id", numShards = 16)
+        .select(col("doc_id"), col("shard"), col("pos"))
+        .orderBy("doc_id"))
   )
 
   /** DuckDB word list — identical to [[TextOps.words]]. */
@@ -1395,6 +1420,31 @@ object SparkEntry {
          |SELECT d.doc_id, CAST(tok.t AS BIGINT) AS n_tok
          |FROM d JOIN tok USING (doc_id)
          |WHERE d.doc_id NOT IN (SELECT id FROM drops) ORDER BY doc_id""".stripMargin,
+    // q66 oracle: q48's components + the identical md5-frac split on the
+    // cluster representative (docs outside any cluster key on their own id)
+    "q66_leakfree_split" ->
+      s"""$q48Cte,
+         |comp AS (SELECT id, min(lbl) AS component FROM r GROUP BY id),
+         |k AS (SELECT d.doc_id,
+         |    coalesce(comp.component, d.doc_id) AS split_key
+         |  FROM d LEFT JOIN comp ON comp.id = d.doc_id),
+         |f AS (SELECT doc_id, split_key,
+         |    CAST('0x' || substring(md5(CAST(split_key AS VARCHAR)), 1, 4)
+         |      AS BIGINT) / 65536.0 AS frac FROM k)
+         |SELECT doc_id, split_key,
+         |  CASE WHEN frac < 0.8 THEN 'train'
+         |       WHEN frac < 0.9 THEN 'val'
+         |       ELSE 'test' END AS split
+         |FROM f ORDER BY doc_id""".stripMargin,
+    // q67 oracle: identical md5 shard bucket and within-shard rank
+    "q67_shuffle_shard" ->
+      """WITH b AS (SELECT doc_id,
+        |    CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+        |      AS BIGINT) % 16 AS shard FROM documents)
+        |SELECT doc_id, shard, CAST(row_number() OVER (
+        |    PARTITION BY shard
+        |    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS INT) AS pos
+        |FROM b ORDER BY doc_id""".stripMargin,
     "q25_minhash_neardup" ->
       s"""WITH d0 AS (SELECT doc_id, text FROM documents ORDER BY doc_id LIMIT 1500),
          |d AS (SELECT doc_id, text FROM d0 UNION ALL SELECT doc_id + 1000000, text FROM d0),

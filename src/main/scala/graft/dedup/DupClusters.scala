@@ -138,4 +138,35 @@ object DupClusters {
       .select(col("id").as(idCol))
     docs.join(dropIds, Seq(idCol), "left_anti")
   }
+
+  /**
+   * Leakage-free train/val/test split: assign the split by the doc's
+   * duplicate-CLUSTER representative, not the doc itself, so near-dup
+   * copies can never straddle train and eval (the train/test-leakage
+   * hole a plain per-doc hash split leaves open — a doc's paraphrase in
+   * the val set is contamination, and near-dup clusters are exactly the
+   * paraphrase sets). Isolated docs use their own id — for them this
+   * degrades to [[graft.text.Sampling.hashSplit]] exactly.
+   *
+   * Adds `split_key` (the cluster-min id, or the doc id if isolated) and
+   * `split`. Deterministic and append-stable in the same sense as
+   * hashSplit, with the one caveat inherent to the problem: a NEW edge
+   * that merges two clusters can move docs to the merged representative's
+   * split — that is the leakage-free property doing its job.
+   *
+   * Scale shape: [[components]] runs over the edge set only (O(dups),
+   * ≪ corpus); the corpus pays one left join against that component map
+   * (AQE broadcasts it when it fits) and a scalar split projection —
+   * the corpus is never shuffled.
+   */
+  def leakageFreeSplit(docs: DataFrame, idCol: String, edges: DataFrame,
+                       trainFrac: Double, valFrac: Double): DataFrame = {
+    val comp = components(edges)
+    val keyed = docs
+      .join(comp, docs(idCol) === comp("id"), "left")
+      .withColumn("split_key",
+        coalesce(col("component"), col(idCol).cast("long")))
+      .drop("id", "component")
+    graft.text.Sampling.hashSplit(keyed, "split_key", trainFrac, valFrac)
+  }
 }

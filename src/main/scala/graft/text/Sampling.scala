@@ -104,6 +104,31 @@ object Sampling {
   }
 
   /**
+   * Deterministic training-order shuffle, sharded: every doc gets a
+   * `shard` (md5-hash bucket) and a `pos` (1-based rank inside its shard
+   * by (md5(id), id)) — a seed-free pseudo-random permutation of the
+   * corpus materialized as `numShards` independently-ordered shards, the
+   * form a training loader consumes. Reading shards 0..S-1 sequentially,
+   * each in `pos` order, visits the corpus in a fixed hash-shuffled
+   * order that no partitioning, append history, or engine can change.
+   *
+   * Scale shape: ONE hash shuffle on `shard` + a within-shard sort —
+   * never a global sort; shards are uniform by construction (md5), so
+   * no skew handling is needed. At 100 TB pick numShards ≫ executors so
+   * each shard's sort fits in memory.
+   */
+  def shuffleShard(docs: DataFrame, idCol: String, numShards: Int): DataFrame = {
+    require(numShards > 0, s"numShards=$numShards must be positive")
+    val shard = pmod(
+      conv(substring(rankKey(col(idCol)), 1, 8), 16, 10).cast("long"),
+      lit(numShards.toLong))
+    val w = Window.partitionBy(col("shard"))
+      .orderBy(rankKey(col(idCol)).asc, col(idCol).asc)
+    docs.withColumn("shard", shard)
+      .withColumn("pos", row_number().over(w))
+  }
+
+  /**
    * Deterministic token-budget sampling (per-language corpus budgets):
    * within each stratum, admit docs in (md5(id), id) order until the
    * running token total would exceed `budget` — the largest prefix of

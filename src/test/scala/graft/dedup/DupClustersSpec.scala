@@ -79,6 +79,31 @@ class DupClustersSpec extends SparkTestBase {
     assert(kept == Set(11L, 20L, 30L))
   }
 
+  test("leakageFreeSplit: cluster members share one split; isolated docs ≡ hashSplit") {
+    val docs = Seq(1L, 2L, 3L, 10L, 11L, 50L, 51L).toDF("doc_id")
+    val edges = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("idA", "idB")
+    val got = DupClusters.leakageFreeSplit(docs, "doc_id", edges, 0.8, 0.1)
+      .select("doc_id", "split_key", "split").as[(Long, Long, String)]
+      .collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(got.size == 7)
+    // clusters key on their min id and agree on the split
+    assert(Seq(1L, 2L, 3L).map(got).distinct.size == 1 && got(1L)._1 == 1L)
+    assert(got(10L) == got(11L) && got(10L)._1 == 10L)
+    // isolated docs: exactly hashSplit of their own id
+    val plain = graft.text.Sampling.hashSplit(
+        Seq(50L, 51L).toDF("doc_id"), "doc_id", 0.8, 0.1)
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    Seq(50L, 51L).foreach { id =>
+      assert(got(id)._1 == id && got(id)._2 == plain(id))
+    }
+    // deterministic across partitionings
+    val b = DupClusters.leakageFreeSplit(docs.repartition(5), "doc_id",
+        edges.repartition(3), 0.8, 0.1)
+      .select("doc_id", "split_key", "split").as[(Long, Long, String)]
+      .collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(b == got)
+  }
+
   test("duplicate and reversed input edges are harmless; empty edge set yields empty") {
     val edges = Seq((1L, 2L), (2L, 1L), (1L, 2L), (2L, 3L)).toDF("idA", "idB")
     val got = DupClusters.components(edges).as[(Long, Long)].collect().toMap

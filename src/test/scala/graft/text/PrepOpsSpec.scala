@@ -341,6 +341,28 @@ class PrepOpsSpec extends SparkTestBase {
     assert(sub.forall { case (id, sp) => full(id) == sp })
   }
 
+  test("shuffle shard: a partition-independent permutation in md5 order, pos contiguous") {
+    def md5hex(s: String): String = java.security.MessageDigest
+      .getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    val docs = (1L to 500L).toDF("doc_id")
+    val a = Sampling.shuffleShard(docs, "doc_id", 8)
+      .select("doc_id", "shard", "pos").as[(Long, Long, Int)]
+      .collect().sortBy(_._1).toSeq
+    val b = Sampling.shuffleShard(docs.repartition(13), "doc_id", 8)
+      .select("doc_id", "shard", "pos").as[(Long, Long, Int)]
+      .collect().sortBy(_._1).toSeq
+    assert(a == b) // partitioning-independent
+    assert(a.map(_._1).distinct.size == 500) // a permutation
+    assert(a.forall(r => r._2 >= 0 && r._2 < 8))
+    a.groupBy(_._2).foreach { case (_, rows) =>
+      val byPos = rows.sortBy(_._3)
+      assert(byPos.map(_._3).toSeq == (1 to rows.size), "pos is 1..n per shard")
+      val byKey = rows.map(_._1).sortBy(id => (md5hex(id.toString), id))
+      assert(byKey.toSeq == byPos.map(_._1).toSeq, "pos order == (md5, id) order")
+    }
+  }
+
   test("source quality gate: whole sources dropped on rounded mean, stats carried") {
     // src0 mean = 0.5, src1 mean = 0.9 → gate at 0.7 drops ALL of src0
     val docs = (0L until 40L).map { i =>
