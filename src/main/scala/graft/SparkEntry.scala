@@ -840,7 +840,65 @@ object SparkEntry {
       Sampling.shuffleShard(T(s, dir, "documents").select("doc_id"),
           "doc_id", numShards = 16)
         .select(col("doc_id"), col("shard"), col("pos"))
-        .orderBy("doc_id"))
+        .orderBy("doc_id")),
+
+    "q68_sessionize" -> ((s, dir) => // gap-based sessionization + rollup
+      graft.events.Sessionize.sessionStats(T(s, dir, "events"),
+          "user_id", "ts", "event_id", gapSeconds = 3600L, valueCol = "value")
+        .select(col("user_id"), col("session_seq"), col("n_events"),
+          unix_micros(col("session_start").cast("timestamp")).as("start_us"),
+          col("duration_us"), col("value_sum"))
+        .orderBy("user_id", "session_seq")),
+
+    "q69_temperature_mix" -> ((s, dir) => { // XLM-R temperature sampling
+      // natural sources are uniform (25 docs each at every sf), which
+      // degenerates temperature scaling to a constant rate — so derive a
+      // SKEWED portable source key instead: s3 holds 13/16 of the corpus,
+      // s0-s2 1/16 each; alpha=0.5 then up-weights the small sources.
+      val d = T(s, dir, "documents").select(col("doc_id"),
+        concat(lit("s"), least(pmod(col("doc_id"), lit(16)), lit(3))
+          .cast("string")).as("src_skew"))
+      Sampling.temperatureMixture(d, "doc_id", "src_skew",
+          alpha = 0.5, budget = 200L)
+        .select("doc_id", "src_skew", "src_docs", "rate")
+        .orderBy("doc_id")
+    }),
+
+    "q70_length_buckets" -> ((s, dir) => // padded-batch bucket economics
+      Packing.lengthBucketStats(T(s, dir, "documents"), "doc_id", "text",
+          maxLen = 64)
+        .orderBy("bucket_cap")),
+
+    "q71_overlap_frac" -> ((s, dir) => { // graded decontamination score
+      val d = T(s, dir, "documents").select("doc_id", "text")
+      // same bench carve and tiny-vocab assertion as q46 (n=3 is only
+      // informative while the synthetic vocab stays tiny)
+      val vocab = d.select(explode(TextOps.words(col("text"))).as("w"))
+        .agg(countDistinct("w")).head().getLong(0)
+      require(vocab <= 100,
+        s"q71 n=3 assumes a tiny synthetic vocab; got $vocab distinct words")
+      Decontaminate.overlapFraction(
+          d.filter(pmod(col("doc_id"), lit(10)) =!= 7), "doc_id", "text",
+          d.filter(pmod(col("doc_id"), lit(10)) === 7), "text", n = 3)
+        .orderBy("doc_id")
+    }),
+
+    "q72_recrawl_interval" -> ((s, dir) => { // Cho–Garcia-Molina revisit schedule
+      // three synthetic snapshots: between 0→1 every even doc changes,
+      // between 1→2 every third doc changes (version counter in the fp) —
+      // the history flows through the REAL diff on md5 fingerprints
+      val d = T(s, dir, "documents").select("doc_id", "text")
+      def snap(v: Column) = d.select(col("doc_id"),
+        md5(concat(col("text"), lit("#"), v.cast("string"))
+          .cast("binary")).as("fp"))
+      val v1 = when(pmod(col("doc_id"), lit(2)) === 0, 1).otherwise(0)
+      val v2 = v1 + when(pmod(col("doc_id"), lit(3)) === 0, 1).otherwise(0)
+      val hist = frontier.SnapshotDiff.diff(snap(lit(0)), snap(v1), "doc_id", "fp")
+        .unionByName(frontier.SnapshotDiff.diff(snap(v1), snap(v2), "doc_id", "fp"))
+      frontier.SnapshotDiff.adaptiveIntervals(hist, "doc_id", "status",
+          checkIntervalHours = 24.0, minHours = 6.0, maxHours = 168.0)
+        .orderBy("doc_id")
+    })
   )
 
   /** DuckDB word list — identical to [[TextOps.words]]. */
@@ -1445,6 +1503,90 @@ object SparkEntry {
         |    PARTITION BY shard
         |    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS INT) AS pos
         |FROM b ORDER BY doc_id""".stripMargin,
+    // q68 oracle: identical (ts, event_id) ordering, micro-epoch gap
+    // compare, running new-session cumsum (CAST — DuckDB sum→HUGEINT)
+    "q68_sessionize" ->
+      """WITH o AS (SELECT user_id, event_id, ts, value,
+        |    CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+        |      OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 3600000000
+        |      THEN 1 ELSE 0 END AS ns
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s AS (SELECT user_id, ts, value,
+        |    CAST(sum(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq FROM o)
+        |SELECT user_id, session_seq, count(*) AS n_events,
+        |  epoch_us(min(ts)) AS start_us,
+        |  epoch_us(max(ts)) - epoch_us(min(ts)) AS duration_us,
+        |  round(sum(value), 4) AS value_sum
+        |FROM s GROUP BY user_id, session_seq
+        |ORDER BY user_id, session_seq""".stripMargin,
+    // q69 oracle: identical skewed source key, pow/share/rate math with
+    // the rate ROUNDED to 6 dp in both engines before the md5 compare
+    "q69_temperature_mix" ->
+      """WITH d AS (SELECT doc_id,
+        |    's' || CAST(least(doc_id % 16, 3) AS VARCHAR) AS src_skew
+        |  FROM documents),
+        |n AS (SELECT src_skew, count(*) AS src_docs FROM d GROUP BY src_skew),
+        |w AS (SELECT src_skew, src_docs,
+        |    pow(CAST(src_docs AS DOUBLE), 0.5) AS ww FROM n),
+        |r AS (SELECT src_skew, src_docs,
+        |    round(least(1.0, 200.0 * ww / (SELECT sum(ww) FROM w)
+        |      / CAST(src_docs AS DOUBLE)), 6) AS rate FROM w)
+        |SELECT d.doc_id, d.src_skew, r.src_docs, r.rate
+        |FROM d JOIN r USING (src_skew)
+        |WHERE CAST('0x' || substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 4)
+        |    AS BIGINT) / 65536.0 < r.rate
+        |ORDER BY doc_id""".stripMargin,
+    // q70 oracle: identical ws token count, truncation, pow-of-2 cap
+    // (log2/pow exact on powers of two), HUGEINT sums cast back
+    "q70_length_buckets" ->
+      """WITH t AS (SELECT doc_id,
+        |    CAST(CASE WHEN len(trim(text)) = 0 THEN 0
+        |      ELSE len(regexp_split_to_array(trim(text), '\s+')) END
+        |      AS BIGINT) AS tokens FROM documents),
+        |e AS (SELECT doc_id, tokens, least(tokens, 64) AS eff FROM t),
+        |b AS (SELECT doc_id, tokens, eff,
+        |    least(CAST(64 AS BIGINT),
+        |      CAST(pow(2, ceil(log2(greatest(eff, 1)))) AS BIGINT))
+        |      AS bucket_cap FROM e)
+        |SELECT bucket_cap, count(*) AS n_docs,
+        |  CAST(sum(eff) AS BIGINT) AS sum_tokens,
+        |  CAST(sum(bucket_cap - eff) AS BIGINT) AS sum_pad,
+        |  count(CASE WHEN tokens > 64 THEN 1 END) AS n_truncated,
+        |  CAST(sum(tokens - eff) AS BIGINT) AS tokens_truncated,
+        |  round(CAST(sum(bucket_cap - eff) AS DOUBLE)
+        |    / CAST(sum(bucket_cap - eff) + sum(eff) AS DOUBLE), 6) AS pad_frac
+        |FROM b GROUP BY bucket_cap ORDER BY bucket_cap""".stripMargin,
+    // q71 oracle: q46's gram machinery widened to a marker left join so
+    // the same pass yields the denominator
+    "q71_overlap_frac" ->
+      s"""WITH w AS (SELECT doc_id, $wordsSql AS words FROM documents),
+         |g AS (SELECT doc_id, list_distinct(list_transform(range(1, len(words) - 1),
+         |    i -> array_to_string(words[i:i+2], ' '))) AS gs FROM w),
+         |bench AS (SELECT DISTINCT unnest(gs) AS gram FROM g WHERE doc_id % 10 = 7),
+         |tr AS (SELECT doc_id, unnest(gs) AS gram FROM g WHERE doc_id % 10 <> 7)
+         |SELECT tr.doc_id, count(*) AS n_grams,
+         |  count(bench.gram) AS n_hits,
+         |  round(CAST(count(bench.gram) AS DOUBLE) / count(*), 6) AS overlap_frac
+         |FROM tr LEFT JOIN bench ON tr.gram = bench.gram
+         |GROUP BY tr.doc_id ORDER BY doc_id""".stripMargin,
+    // q72 oracle: the change indicators are computable directly from the
+    // %-rules (the md5 fingerprints are an implementation detail of the
+    // Spark path); same smoothed-MLE math on the ROUNDED lambda
+    "q72_recrawl_interval" ->
+      """WITH x AS (SELECT doc_id,
+        |    (CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END)
+        |  + (CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END) AS nc
+        |  FROM documents),
+        |l AS (SELECT doc_id, CAST(2 AS BIGINT) AS n_checks,
+        |    CAST(nc AS BIGINT) AS n_changed,
+        |    round(-ln((2 - nc + 0.5) / 2.5) / 24.0, 6) + 0.0 AS lambda_hat
+        |  FROM x)
+        |SELECT doc_id, n_checks, n_changed, lambda_hat,
+        |  CASE WHEN n_changed = 0 THEN 168.0
+        |    ELSE round(least(168.0, greatest(6.0, 1.0 / lambda_hat)), 4)
+        |  END AS interval_h
+        |FROM l ORDER BY doc_id""".stripMargin,
     "q25_minhash_neardup" ->
       s"""WITH d0 AS (SELECT doc_id, text FROM documents ORDER BY doc_id LIMIT 1500),
          |d AS (SELECT doc_id, text FROM d0 UNION ALL SELECT doc_id + 1000000, text FROM d0),

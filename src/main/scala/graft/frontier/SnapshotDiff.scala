@@ -61,6 +61,51 @@ object SnapshotDiff {
    * full-outer equi-join on the 64-bit hash; seen retirement is a
    * hash-only anti-join. Unchanged rows never reach the frontier.
    */
+  /**
+   * Adaptive per-page recrawl intervals from a change HISTORY — the Cho &
+   * Garcia-Molina (TOIT 2003) frequency estimator that turns K snapshot
+   * diffs into a revisit schedule: pages that changed on many checks get
+   * short intervals, stable pages decay toward `maxHours`. This is the
+   * missing policy layer between [[diff]] (one observation) and
+   * [[recrawlPlan]] (one round's boost): at 10^10 urls a uniform revisit
+   * period either wastes most fetches on static pages or lets hot pages
+   * go stale.
+   *
+   * `history` holds one row per (id, check): the `statusCol` of a
+   * consecutive-snapshot [[diff]], checks `checkIntervalHours` apart.
+   * Only changed/unchanged rows are observations (added/removed carry no
+   * change-rate signal and are ignored). Per id with n checks and x
+   * changes, the smoothed Poisson MLE is
+   * λ̂ = −ln((n − x + 0.5)/(n + 0.5)) / Δ and the revisit interval is
+   * 1/λ̂ clamped to [minHours, maxHours] (x = 0 pins to maxHours
+   * explicitly — no ∞ games cross-engine). `lambda_hat` is rounded to
+   * 6 dp and `interval_h` to 4 dp: ln last-ulps must not flip a verdict
+   * (the q54/q60 contract).
+   *
+   * Scale shape: one hash agg on the id over a statuses-only table
+   * (16 bytes/row); no joins, no skew (every id has ≤ K rows).
+   */
+  def adaptiveIntervals(history: DataFrame, idCol: String, statusCol: String,
+                        checkIntervalHours: Double, minHours: Double,
+                        maxHours: Double): DataFrame = {
+    require(checkIntervalHours > 0 && minHours > 0 && maxHours >= minHours,
+      s"bad config: check=$checkIntervalHours min=$minHours max=$maxHours")
+    val obs = history.filter(col(statusCol).isin("changed", "unchanged"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_checks"),
+        count(when(col(statusCol) === "changed", 1)).as("n_changed"))
+    obs
+      // + 0.0 normalizes the x = 0 case's -0.0 to +0.0 (IEEE), so both
+      // engines emit the same bit pattern
+      .withColumn("lambda_hat", round(
+        -log((col("n_checks") - col("n_changed") + 0.5d) /
+          (col("n_checks") + 0.5d)) / checkIntervalHours, 6) + lit(0.0d))
+      .withColumn("interval_h",
+        when(col("n_changed") === 0, lit(maxHours)).otherwise(
+          round(least(lit(maxHours),
+            greatest(lit(minHours), lit(1.0) / col("lambda_hat"))), 4)))
+  }
+
   def recrawlPlan(oldSnap: DataFrame, newSnap: DataFrame,
                   urlCol: String, fpCol: String, seen: DataFrame,
                   scoreBoost: Double = 1.0): RecrawlPlan = {

@@ -44,6 +44,37 @@ object Decontaminate {
       Seq(idCol), "left_anti")
 
   /**
+   * Graded variant of [[contaminated]]: per-doc overlap FRACTION
+   * (distinct shared grams / distinct grams), the Dolma/llm-foundry
+   * contamination score — a binary any-overlap rule over-drops long
+   * documents that merely quote one benchmark sentence; a threshold on
+   * the fraction lets policy distinguish "contains the eval set" from
+   * "mentions it". Docs with fewer than n words have no grams and are
+   * absent from the output (same contract as [[contaminated]]).
+   * `overlap_frac` is rounded to 6 dp (cross-engine double contract).
+   *
+   * Scale shape: identical to [[contaminated]] — corpus-side scan +
+   * broadcast probe of the (always-small) bench gram set, with the
+   * semi-join widened to a marker left join so the gram denominator
+   * comes from the same single pass. The corpus never shuffles on a
+   * gram; the only shuffle is the per-doc count agg on the id.
+   */
+  def overlapFraction(train: DataFrame, idCol: String, textCol: String,
+                      bench: DataFrame, benchTextCol: String, n: Int): DataFrame =
+    train
+      .select(col(idCol), explode(ngramSet(col(textCol), n)).as("gram"))
+      .join(
+        broadcast(benchGrams(bench, benchTextCol, n)
+          .withColumn("__hit", lit(1L))),
+        Seq("gram"), "left")
+      .groupBy(idCol)
+      .agg(
+        count(lit(1)).as("n_grams"),
+        sum(coalesce(col("__hit"), lit(0L))).as("n_hits"))
+      .withColumn("overlap_frac", round(
+        col("n_hits").cast("double") / col("n_grams").cast("double"), 6))
+
+  /**
    * Bloom variant of [[contaminated]] for when even the distinct bench
    * gram set is too large to broadcast as strings (a multi-benchmark
    * 13-gram set at production scale): the bench side aggregates into ONE

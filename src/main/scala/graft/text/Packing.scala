@@ -48,6 +48,47 @@ object Packing {
         pmod(col("__before"), lit(budget.toLong)).as("offset"))
   }
 
+  /**
+   * Length-bucketed batch shaping — the padded-batch alternative to
+   * concat-and-chunk: docs are grouped into power-of-two length buckets
+   * (capped at `maxLen`, the model's context window) and each bucket
+   * reports its padding economics. This is how a loader that does NOT
+   * pack across document boundaries (SFT, contrastive pairs, rankers)
+   * decides its bucket boundaries: `pad_frac` is the fraction of batch
+   * tokens that would be padding if every doc in the bucket were padded
+   * to the bucket cap.
+   *
+   * Per doc: eff = min(tokens, maxLen) (longer docs are truncated, and
+   * counted in `n_truncated` / `tokens_truncated`); bucket_cap =
+   * min(maxLen, 2^ceil(log2(max(eff, 1)))). log2/pow on exact powers of
+   * two are exact in IEEE doubles, so the bucket boundary is
+   * engine-portable with no epsilon games.
+   *
+   * Scale shape: a pure scalar projection + ONE hash agg to
+   * O(log maxLen) rows. Nothing else moves.
+   */
+  def lengthBucketStats(docs: DataFrame, idCol: String, textCol: String,
+                        maxLen: Int): DataFrame = {
+    require(maxLen > 0, s"maxLen=$maxLen must be positive")
+    val tokens = TextOps.tokenCountWs(col(textCol)).cast("long")
+    val eff = least(tokens, lit(maxLen.toLong))
+    val cap = least(lit(maxLen.toLong),
+      pow(lit(2.0), ceil(log2(greatest(eff, lit(1L))))).cast("long"))
+    docs
+      .select(col(idCol), tokens.as("tokens"), eff.as("eff"),
+        cap.as("bucket_cap"))
+      .groupBy("bucket_cap")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("eff")).as("sum_tokens"),
+        sum(col("bucket_cap") - col("eff")).as("sum_pad"),
+        count(when(col("tokens") > maxLen, 1)).as("n_truncated"),
+        sum(col("tokens") - col("eff")).as("tokens_truncated"))
+      .withColumn("pad_frac", round(
+        col("sum_pad").cast("double") /
+          (col("sum_pad") + col("sum_tokens")).cast("double"), 6))
+  }
+
   /** Sequence-level summary: (pack_group, seq_no, n_docs_starting) —
     * how many docs begin in each packed sequence. */
   def sequenceStats(docs: DataFrame, idCol: String, textCol: String,

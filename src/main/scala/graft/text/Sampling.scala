@@ -82,6 +82,43 @@ object Sampling {
   }
 
   /**
+   * Temperature-scaled mixture sampling (the XLM-R / mC4 move): sample
+   * source s with probability ∝ n_s^alpha, so low-resource sources are
+   * up-weighted relative to their natural share (alpha < 1 flattens the
+   * distribution; alpha = 1 is proportional; alpha = 0 is uniform across
+   * sources). Rates are derived, not hand-picked: with target corpus
+   * size `budget` docs, rate_s = min(1, budget·p_s / n_s) where
+   * p_s = n_s^alpha / Σ_t n_t^alpha — then the same md5 acceptance
+   * filter as [[weightedMix]]. Rates are ROUNDED to 6 dp before the
+   * compare so the verdict never hangs on pow/summation last-ulps
+   * across engines or partitionings (the q54/q60 lesson). Adds
+   * `src_docs` and `rate`.
+   *
+   * Scale shape: one hash agg to |sources| rows, a 1-row total joined
+   * back (crossJoin of a broadcast scalar), and one corpus-side join on
+   * the source key — AQE broadcasts the rate table when it fits
+   * (sources are domains: usually small, unbounded in principle, so no
+   * forced hint). The corpus itself is scanned twice, shuffled never.
+   */
+  def temperatureMixture(docs: DataFrame, idCol: String, sourceCol: String,
+                         alpha: Double, budget: Long): DataFrame = {
+    require(alpha >= 0, s"alpha=$alpha must be >= 0")
+    require(budget > 0, s"budget=$budget must be positive")
+    val stats = docs.groupBy(col(sourceCol))
+      .agg(count(lit(1)).as("src_docs"))
+      .withColumn("__w", pow(col("src_docs").cast("double"), lit(alpha)))
+    val total = stats.agg(sum(col("__w")).as("__tot"))
+    val rates = stats.crossJoin(broadcast(total))
+      .withColumn("rate", round(
+        least(lit(1.0),
+          lit(budget.toDouble) * col("__w") / col("__tot") /
+            col("src_docs").cast("double")), 6))
+      .drop("__w", "__tot")
+    docs.join(rates, Seq(sourceCol))
+      .filter(hashFrac(col(idCol)) < col("rate"))
+  }
+
+  /**
    * Source-level quality gate (the RefinedWeb/FineWeb move: judge the
    * HOST, not just the document — a domain whose average page quality is
    * junk is dropped wholesale, catching SEO farms whose individual pages

@@ -328,4 +328,30 @@ class CrawlSpec extends SparkTestBase {
     // the hot host actually hits the cap (not vacuous)
     assert(capped.order.groupBy("host").count().filter($"count" === 30).count() >= 1)
   }
+
+  test("adaptiveIntervals: smoothed change-rate MLE, clamping, no-signal rows dropped") {
+    val hist = Seq(
+      (1L, "unchanged"), (1L, "unchanged"),       // x=0 -> pinned to max
+      (2L, "changed"), (2L, "unchanged"),         // x=1 of 2
+      (3L, "changed"), (3L, "changed"),           // x=2 of 2 -> clamped to min
+      (4L, "changed"),                            // single check
+      (5L, "added"), (5L, "removed")              // no observations at all
+    ).toDF("doc_id", "status")
+    val got = SnapshotDiff.adaptiveIntervals(hist, "doc_id", "status",
+        checkIntervalHours = 10.0, minHours = 6.5, maxHours = 100.0)
+      .select("doc_id", "n_checks", "n_changed", "lambda_hat", "interval_h")
+      .as[(Long, Long, Long, Double, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    def rd(v: Double, s: Int) =
+      BigDecimal(v).setScale(s, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def lam(n: Int, x: Int) = rd(-math.log((n - x + 0.5) / (n + 0.5)) / 10.0, 6)
+    def ivl(n: Int, x: Int) =
+      if (x == 0) 100.0 else rd(math.min(100.0, math.max(6.5, 1.0 / lam(n, x))), 4)
+    assert(got(1L) == ((1L, 2L, 0L, 0.0, 100.0)))
+    assert(1.0 / got(1L)._4 > 0) // +0.0, not -0.0: 1/lambda = +Inf
+    assert(got(2L) == ((2L, 2L, 1L, lam(2, 1), ivl(2, 1))))
+    assert(got(3L) == ((3L, 2L, 2L, lam(2, 2), 6.5))) // hits the min clamp
+    assert(got(4L) == ((4L, 1L, 1L, lam(1, 1), ivl(1, 1))))
+    assert(!got.contains(5L) && got.size == 4)
+  }
 }

@@ -448,4 +448,76 @@ class PrepOpsSpec extends SparkTestBase {
     // min-id rows survive the cap: ids 1..9 dropped against 0; 10+ truncated
     assert(dropped.select("id").as[Long].collect().toSet == (1L until 10L).toSet)
   }
+
+  test("temperature mixture: alpha flattens the mixture, rates derived and capped") {
+    // skewed corpus: src a = 160 docs, src b = 40 docs
+    val docs = (0L until 200L).map(i => (i, if (i < 160) "a" else "b"))
+      .toDF("doc_id", "src")
+    // alpha = 0.5: w_a = sqrt(160), w_b = sqrt(40) -> p_a ~ 0.6667
+    // budget 100: rate_a = 100*.6667/160 = .416667, rate_b = 100*.3333/40 = .833333
+    val out = Sampling.temperatureMixture(docs, "doc_id", "src",
+      alpha = 0.5, budget = 100L)
+    val rates = out.select("src", "rate").distinct()
+      .as[(String, Double)].collect().toMap
+    assert(rates("a") == 0.416667 && rates("b") == 0.833333)
+    // alpha = 1 is proportional sampling: every source gets budget/N
+    val prop = Sampling.temperatureMixture(docs, "doc_id", "src",
+        alpha = 1.0, budget = 100L)
+      .select("src", "rate").distinct().as[(String, Double)].collect().toMap
+    assert(prop("a") == 0.5 && prop("b") == 0.5)
+    // alpha = 0 is uniform across sources: rate_s = (budget/2)/n_s, capped at 1
+    val uni = Sampling.temperatureMixture(docs, "doc_id", "src",
+        alpha = 0.0, budget = 100L)
+      .select("src", "rate").distinct().as[(String, Double)].collect().toMap
+    assert(uni("a") == 0.3125 && uni("b") == 1.0)
+    // acceptance is the shared md5 filter: kept set == weightedMix at the same rates
+    val viaMix = Sampling.weightedMix(docs, "doc_id", "src",
+        Map("a" -> 0.416667, "b" -> 0.833333))
+      .select("doc_id").as[Long].collect().toSet
+    assert(out.select("doc_id").as[Long].collect().toSet == viaMix)
+  }
+
+  test("length buckets: pow-2 caps, truncation, padding economics") {
+    val docs = Seq(
+      (1L, "w"),                                  // 1 token  -> cap 1
+      (2L, "a b c"),                              // 3 tokens -> cap 4
+      (3L, "a b c d"),                            // 4 tokens -> cap 4
+      (4L, "a b c d e"),                          // 5 tokens -> cap 8
+      (5L, Seq.fill(40)("x").mkString(" ")),      // 40 -> cap 64 (maxLen)
+      (6L, Seq.fill(100)("x").mkString(" "))      // 100 -> truncated to 64
+    ).toDF("doc_id", "text")
+    val got = Packing.lengthBucketStats(docs, "doc_id", "text", maxLen = 64)
+      .select("bucket_cap", "n_docs", "sum_tokens", "sum_pad",
+        "n_truncated", "tokens_truncated", "pad_frac")
+      .as[(Long, Long, Long, Long, Long, Long, Double)]
+      .collect().map(r => r._1 -> r).toMap
+    assert(got(1L) == ((1L, 1L, 1L, 0L, 0L, 0L, 0.0)))
+    assert(got(4L) == ((4L, 2L, 7L, 1L, 0L, 0L, 0.125)))
+    assert(got(8L) == ((8L, 1L, 5L, 3L, 0L, 0L, 0.375)))
+    // cap 64 holds the 40-token doc (pad 24) and the truncated 100-token doc
+    assert(got(64L) == ((64L, 2L, 104L, 24L, 1L, 36L, 0.1875)))
+    assert(got.size == 4)
+  }
+
+  test("overlap fraction: graded contamination, consistent with the binary rule") {
+    val bench = Seq((100L, "alpha beta gamma delta")).toDF("doc_id", "text")
+    val train = Seq(
+      (1L, "alpha beta gamma delta"),      // all 2 grams shared -> 1.0
+      (2L, "alpha beta gamma zz alpha"),   // 3 grams, only "alpha beta gamma" hits
+      (3L, "xx yy zz ww"),                 // no overlap -> 0.0
+      (4L, "xx")                           // < n words: absent from output
+    ).toDF("doc_id", "text")
+    val got = Decontaminate.overlapFraction(train, "doc_id", "text",
+        bench, "text", n = 3)
+      .select("doc_id", "n_grams", "n_hits", "overlap_frac")
+      .as[(Long, Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    assert(got(1L) == ((1L, 2L, 2L, 1.0)))
+    assert(got(2L) == ((2L, 3L, 1L, 0.333333)))
+    assert(got(3L) == ((3L, 2L, 0L, 0.0)))
+    assert(!got.contains(4L) && got.size == 3)
+    // any-overlap ids == ids with overlap_frac > 0 (binary rule consistency)
+    val binary = Decontaminate.contaminated(train, "doc_id", "text",
+      bench, "text", n = 3).select("doc_id").as[Long].collect().toSet
+    assert(binary == got.filter(_._2._4 > 0).keySet)
+  }
 }
