@@ -898,6 +898,15 @@ object SparkEntry {
       frontier.SnapshotDiff.adaptiveIntervals(hist, "doc_id", "status",
           checkIntervalHours = 24.0, minHours = 6.0, maxHours = 168.0)
         .orderBy("doc_id")
+    }),
+
+    "q73_audio_features" -> ((s, dir) => { // REAL WAV decode (javax.sound)
+      val media = MediaOps.synthMedia(s, 300L)
+      MediaOps.audioFeatures(media).toDF()
+        .select(col("media_id"), col("sample_rate"), col("n_samples"),
+          col("channels"), round(col("rms"), 4).as("rms"),
+          round(col("zcr"), 4).as("zcr"), size(col("embedding")).as("dim"))
+        .orderBy("media_id")
     })
   )
 
@@ -1238,6 +1247,7 @@ object SparkEntry {
     // sf0.01 (the correctness gate's scale) — k-means is not SQL-expressible
     "q40_ann_ivf" -> fixtureOracle("q40_ann_ivf"),
     "q47_semdedup" -> fixtureOracle("q47_semdedup"),
+    "q73_audio_features" -> fixtureOracle("q73_audio_features"),
     "q44_repetition" -> q44OracleSql,
     "q45_pii" -> q45OracleSql,
     "q46_decontaminate" ->

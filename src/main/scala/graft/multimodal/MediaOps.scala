@@ -3,6 +3,7 @@ package graft.multimodal
 import java.awt.image.BufferedImage
 import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
 import javax.imageio.ImageIO
+import javax.sound.sampled.AudioSystem
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
@@ -19,9 +20,15 @@ import graft.synth.Synth
  * external codec needed), computing per-pixel luma statistics and a
  * downsampled-luma-grid embedding from the actual raster.
  *
- * AUDIO/VIDEO decode remains a DETERMINISTIC STUB (`StubCodec`) — no
- * audio/video codec library is in this container. The stub derives fake
- * samples from a seeded hash of the payload bytes, so schema,
+ * AUDIO decode is REAL too: payloads are genuine RIFF/WAV bytes (16-bit
+ * PCM mono, hand-rolled deterministic header + samples) and
+ * [[audioFeatures]] decodes them with JDK `javax.sound.sampled`
+ * (WAV/AIFF/AU PCM ship with the JDK), computing RMS / zero-crossing
+ * rate / a windowed-RMS embedding from the actual samples.
+ *
+ * VIDEO decode remains a DETERMINISTIC STUB (`StubCodec`) — the JDK has
+ * no video codec and none is in this container. The stub derives fake
+ * frames from a seeded hash of the payload bytes, so schema,
  * partitioning, and batch shape are real and tested while the codec is
  * swappable (marked STUB below).
  */
@@ -40,6 +47,10 @@ object MediaOps {
       mean_luma: Double, embedding: Array[Float])
 
   final case class FrameSample(media_id: Long, frame_idx: Int, frame_luma: Double)
+
+  final case class AudioFeatures(
+      media_id: Long, sample_rate: Int, n_samples: Long, channels: Int,
+      rms: Double, zcr: Double, embedding: Array[Float])
 
   /** ITU-R BT.601 luma of a packed (A)RGB pixel, normalized to [0,1]. */
   private def luma(rgb: Int): Double = {
@@ -65,8 +76,33 @@ object MediaOps {
     bos.toByteArray
   }
 
+  /** Deterministic 16-bit PCM sample for (audio id, sample index). */
+  private def synthSample(id: Long, i: Long): Short =
+    ((Synth.mix2(id, i) & 0xFFFFL) - 32768L).toShort
+
+  /** Encode the deterministic sample stream for `id` as real RIFF/WAV
+    * bytes (16-bit PCM mono little-endian) — hand-rolled header, so the
+    * payload is a pure function of (id, n, sampleRate) with no encoder
+    * variance. */
+  private[multimodal] def synthWav(id: Long, n: Int, sampleRate: Int): Array[Byte] = {
+    val dataLen = n * 2
+    val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+      .put("WAVE".getBytes("US-ASCII"))
+    bb.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(1)                    // PCM, mono
+      .putInt(sampleRate).putInt(sampleRate * 2)  // byte rate
+      .putShort(2).putShort(16)                   // block align, bits
+    bb.put("data".getBytes("US-ASCII")).putInt(dataLen)
+    var i = 0
+    while (i < n) { bb.putShort(synthSample(id, i.toLong)); i += 1 }
+    bb.array()
+  }
+
   /** Deterministic synthetic media table. Image payloads are REAL PNG
-    * bytes; audio/video payloads are seeded noise (stub-decoded). */
+    * bytes, audio payloads are REAL WAV bytes; video payloads are seeded
+    * noise (stub-decoded). */
   def synthMedia(spark: SparkSession, n: Long): Dataset[MediaRow] = {
     import spark.implicits._
     spark.range(0L, n, 1L, spark.sparkContext.defaultParallelism).map { id =>
@@ -75,21 +111,23 @@ object MediaOps {
       }
       val width = 32 + (Synth.mix2(3L, id) & 0x1F).toInt
       val height = 32 + (Synth.mix2(4L, id) & 0x1F).toInt
-      val payload =
-        if (kind == "image") synthPng(id, width, height)
-        else {
+      val payload = kind match {
+        case "image" => synthPng(id, width, height)
+        case "audio" =>
+          synthWav(id, 256 + (Synth.mix2(2L, id) & 0x3FF).toInt, 16000)
+        case _ =>
           val len = 256 + (Synth.mix2(2L, id) & 0x3FF).toInt
           Array.tabulate[Byte](len)(i => (Synth.mix2(id, i.toLong) & 0xFF).toByte)
-        }
+      }
       MediaRow(id, kind, payload, width, height,
         sample_rate = 16000, n_frames = 8 + (Synth.mix2(5L, id) & 0x7).toInt)
     }
   }
 
-  /** STUB codec for AUDIO/VIDEO only (image decode is real — see
-    * [[imageFeatures]]). A real build replaces these with actual
-    * decoders; the fake is a pure function of the payload bytes —
-    * deterministic, cluster-size independent. */
+  /** STUB codec for VIDEO only (image and audio decode are real — see
+    * [[imageFeatures]], [[audioFeatures]]). A real build replaces these
+    * with actual decoders; the fake is a pure function of the payload
+    * bytes — deterministic, cluster-size independent. */
   object StubCodec {
     /** STUB: "decode" → sample stream derived from payload hash. */
     def decodeLuma(payload: Array[Byte], nPixels: Int): Array[Double] = {
@@ -145,6 +183,68 @@ object MediaOps {
             mean_luma = if (w * h == 0) 0.0 else sum / (w.toLong * h),
             embedding = emb)
         }
+      }
+    }
+  }
+
+  /**
+   * Feature extraction over audio rows — same batch-shaped per-partition
+   * pass as [[imageFeatures]].
+   *
+   * REAL decode: `AudioSystem.getAudioInputStream` on the payload bytes
+   * (JDK WAV/AIFF/AU PCM support); sample_rate/channels come from the
+   * decoded format, and the features are computed from the actual
+   * samples normalized to [-1, 1]: `rms` (root-mean-square energy),
+   * `zcr` (zero-crossing rate), and a per-window RMS embedding — the
+   * audio analogue of the image luma grid. Supports 16-bit PCM in either
+   * endianness; rows whose payload fails to decode (or uses an
+   * unsupported encoding) are dropped, never silently faked.
+   */
+  def audioFeatures(media: Dataset[MediaRow], embeddingDim: Int = 16): Dataset[AudioFeatures] = {
+    import media.sparkSession.implicits._
+    require(embeddingDim > 0, s"embeddingDim=$embeddingDim must be positive")
+    media.filter(_.kind == "audio").mapPartitions { rows =>
+      rows.flatMap { r =>
+        val res = scala.util.Try {
+          val in = AudioSystem.getAudioInputStream(new ByteArrayInputStream(r.payload))
+          try {
+            val fmt = in.getFormat
+            require(fmt.getSampleSizeInBits == 16 &&
+              fmt.getEncoding == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
+              s"unsupported encoding ${fmt.getEncoding}/${fmt.getSampleSizeInBits}bit")
+            val bytes = in.readAllBytes()
+            val bb = java.nio.ByteBuffer.wrap(bytes).order(
+              if (fmt.isBigEndian) java.nio.ByteOrder.BIG_ENDIAN
+              else java.nio.ByteOrder.LITTLE_ENDIAN)
+            val n = bytes.length / 2
+            val s = Array.ofDim[Double](n)
+            var i = 0
+            while (i < n) { s(i) = bb.getShort(i * 2) / 32768.0; i += 1 }
+            var sumSq = 0.0; var crossings = 0L
+            i = 0
+            while (i < n) {
+              sumSq += s(i) * s(i)
+              if (i > 0 && (s(i) >= 0) != (s(i - 1) >= 0)) crossings += 1
+              i += 1
+            }
+            val emb = Array.tabulate(embeddingDim) { w =>
+              val lo = (w.toLong * n / embeddingDim).toInt
+              val hi = ((w + 1).toLong * n / embeddingDim).toInt
+              if (hi <= lo) 0f
+              else {
+                var e = 0.0; var j = lo
+                while (j < hi) { e += s(j) * s(j); j += 1 }
+                math.sqrt(e / (hi - lo)).toFloat
+              }
+            }
+            AudioFeatures(r.media_id, fmt.getSampleRate.toInt,
+              n.toLong / math.max(1, fmt.getChannels), fmt.getChannels,
+              rms = if (n == 0) 0.0 else math.sqrt(sumSq / n),
+              zcr = if (n < 2) 0.0 else crossings.toDouble / (n - 1),
+              embedding = emb)
+          } finally in.close()
+        }
+        res.toOption
       }
     }
   }

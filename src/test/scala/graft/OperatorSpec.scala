@@ -341,6 +341,48 @@ class OperatorSpec extends SparkTestBase {
     assert(perVideo.forall(_._2 <= 8)) // ≤ n_frames/stride + 1
   }
 
+  test("audio decode is real: known WAVs round-trip exact RMS/ZCR") {
+    def wav(samples: Array[Short], sr: Int): Array[Byte] = {
+      // independent hand-rolled encoder (mirrors the RIFF spec, not the
+      // production synthWav code path)
+      val bb = java.nio.ByteBuffer.allocate(44 + samples.length * 2)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put("RIFF".getBytes).putInt(36 + samples.length * 2).put("WAVE".getBytes)
+      bb.put("fmt ".getBytes).putInt(16).putShort(1).putShort(1)
+        .putInt(sr).putInt(sr * 2).putShort(2).putShort(16)
+      bb.put("data".getBytes).putInt(samples.length * 2)
+      samples.foreach(bb.putShort)
+      bb.array()
+    }
+    // constant +16384 (= 0.5 amplitude): rms 0.5, zero crossings 0
+    val const = Array.fill[Short](100)(16384)
+    // alternating ±16384: rms 0.5, a crossing at EVERY step -> zcr 1
+    val alt = Array.tabulate[Short](100)(i => if (i % 2 == 0) 16384 else -16384)
+    val rows = Seq(
+      MediaOps.MediaRow(1L, "audio", wav(const, 8000), 0, 0, 8000, 0),
+      MediaOps.MediaRow(2L, "audio", wav(alt, 16000), 0, 0, 16000, 0),
+      MediaOps.MediaRow(3L, "audio", Array[Byte](9, 9, 9), 0, 0, 0, 0), // undecodable
+      MediaOps.MediaRow(4L, "image", Array[Byte](1), 0, 0, 0, 0))       // filtered out
+    val feats = MediaOps.audioFeatures(spark.createDataset(rows), embeddingDim = 4)
+      .collect().sortBy(_.media_id)
+    assert(feats.map(_.media_id).toSeq == Seq(1L, 2L))
+    val c = feats(0); val a = feats(1)
+    assert((c.sample_rate, c.n_samples, c.channels) == (8000, 100L, 1))
+    assert(math.abs(c.rms - 0.5) < 1e-9 && c.zcr == 0.0)
+    assert(c.embedding.forall(v => math.abs(v - 0.5f) < 1e-6f))
+    assert(a.sample_rate == 16000 && math.abs(a.rms - 0.5) < 1e-9 && a.zcr == 1.0)
+    // synthetic corpus decodes deterministically, embeddings sized
+    val m1 = MediaOps.audioFeatures(MediaOps.synthMedia(spark, 100L)).collect()
+      .sortBy(_.media_id)
+    val m2 = MediaOps.audioFeatures(MediaOps.synthMedia(spark, 100L)).collect()
+      .sortBy(_.media_id)
+    assert(m1.length > 10 && m1.forall(_.embedding.length == 16))
+    assert(m1.map(f => (f.media_id, f.rms, f.zcr)).toSeq ==
+      m2.map(f => (f.media_id, f.rms, f.zcr)).toSeq)
+    // uniform-hash samples: rms near 1/sqrt(3), zcr near 0.5
+    assert(m1.forall(f => math.abs(f.rms - 0.577) < 0.05 && math.abs(f.zcr - 0.5) < 0.1))
+  }
+
   // ---------- sinks ----------
 
   test("csv sink flattens arrays pipe-joined; json sink round-trips") {
