@@ -907,6 +907,14 @@ object SparkEntry {
           col("channels"), round(col("rms"), 4).as("rms"),
           round(col("zcr"), 4).as("zcr"), size(col("embedding")).as("dim"))
         .orderBy("media_id")
+    }),
+
+    "q74_video_frames" -> ((s, dir) => { // REAL GFV1 seek + PNG frame decode
+      val media = MediaOps.synthMedia(s, 300L)
+      MediaOps.sampleFrames(media, stride = 2).toDF()
+        .select(col("media_id"), col("frame_idx"),
+          round(col("frame_luma"), 4).as("frame_luma"))
+        .orderBy("media_id", "frame_idx")
     })
   )
 
@@ -1248,6 +1256,7 @@ object SparkEntry {
     "q40_ann_ivf" -> fixtureOracle("q40_ann_ivf"),
     "q47_semdedup" -> fixtureOracle("q47_semdedup"),
     "q73_audio_features" -> fixtureOracle("q73_audio_features"),
+    "q74_video_frames" -> fixtureOracle("q74_video_frames"),
     "q44_repetition" -> q44OracleSql,
     "q45_pii" -> q45OracleSql,
     "q46_decontaminate" ->

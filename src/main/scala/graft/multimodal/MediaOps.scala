@@ -26,11 +26,14 @@ import graft.synth.Synth
  * (WAV/AIFF/AU PCM ship with the JDK), computing RMS / zero-crossing
  * rate / a windowed-RMS embedding from the actual samples.
  *
- * VIDEO decode remains a DETERMINISTIC STUB (`StubCodec`) — the JDK has
- * no video codec and none is in this container. The stub derives fake
- * frames from a seeded hash of the payload bytes, so schema,
- * partitioning, and batch shape are real and tested while the codec is
- * swappable (marked STUB below).
+ * VIDEO decode is REAL as well: payloads are GFV1 containers — an
+ * MJPEG-style intra-frame-only format we define (magic, frame count,
+ * byte-offset index, then concatenated genuine PNG frames) — and
+ * [[sampleFrames]] seeks the offset index and `ImageIO.read`s ONLY the
+ * sampled frames (no inter-frame codec ships with the JDK; an H.264
+ * demuxer would slot into the same seek-and-decode-sampled shape). The
+ * offset index is the scale property: sampling every k-th frame reads
+ * and decodes 1/k of the payload work, never the whole stream.
  */
 object MediaOps {
 
@@ -100,9 +103,55 @@ object MediaOps {
     bb.array()
   }
 
+  /**
+   * GFV1 — graft frame video, the MJPEG idea with a seek index:
+   * `"GFV1" | n_frames:int | offsets:(n_frames+1)×int | PNG frames…`
+   * (big-endian ints; offsets are relative to the frames region).
+   * Intra-frame-only like MJPEG, so every frame is independently
+   * decodable; the offset index gives O(1) frame seek, which is what
+   * makes stride sampling cheap.
+   */
+  object Gfv1 {
+    private val Magic = Array[Byte]('G', 'F', 'V', '1')
+
+    def encode(frames: Seq[Array[Byte]]): Array[Byte] = {
+      val n = frames.length
+      val header = 4 + 4 + 4 * (n + 1)
+      val bb = java.nio.ByteBuffer.allocate(header + frames.map(_.length).sum)
+      bb.put(Magic).putInt(n)
+      var off = 0
+      frames.foreach { f => bb.putInt(off); off += f.length }
+      bb.putInt(off)
+      frames.foreach(bb.put)
+      bb.array()
+    }
+
+    /** Frame count, or None if the payload is not a GFV1 container. */
+    def frameCount(payload: Array[Byte]): Option[Int] =
+      if (payload.length < 12 || !payload.take(4).sameElements(Magic)) None
+      else {
+        val n = java.nio.ByteBuffer.wrap(payload, 4, 4).getInt
+        if (n < 0 || payload.length < 8 + 4 * (n + 1)) None else Some(n)
+      }
+
+    /** Seek + slice frame `f` via the offset index — reads only that
+      * frame's bytes, never the whole stream. */
+    def frame(payload: Array[Byte], n: Int, f: Int): Array[Byte] = {
+      val base = 8 + 4 * (n + 1)
+      val lo = java.nio.ByteBuffer.wrap(payload, 8 + 4 * f, 4).getInt
+      val hi = java.nio.ByteBuffer.wrap(payload, 8 + 4 * (f + 1), 4).getInt
+      java.util.Arrays.copyOfRange(payload, base + lo, base + hi)
+    }
+  }
+
+  /** Encode deterministic rasters for `id` as a real GFV1 container of
+    * `nFrames` genuine PNG frames. */
+  private[multimodal] def synthVideo(id: Long, w: Int, h: Int, nFrames: Int): Array[Byte] =
+    Gfv1.encode((0 until nFrames).map(f => synthPng(Synth.mix2(id, 0x7F4A7C15L + f), w, h)))
+
   /** Deterministic synthetic media table. Image payloads are REAL PNG
-    * bytes, audio payloads are REAL WAV bytes; video payloads are seeded
-    * noise (stub-decoded). */
+    * bytes, audio payloads are REAL WAV bytes, video payloads are REAL
+    * GFV1 containers of PNG frames. */
   def synthMedia(spark: SparkSession, n: Long): Dataset[MediaRow] = {
     import spark.implicits._
     spark.range(0L, n, 1L, spark.sparkContext.defaultParallelism).map { id =>
@@ -111,29 +160,16 @@ object MediaOps {
       }
       val width = 32 + (Synth.mix2(3L, id) & 0x1F).toInt
       val height = 32 + (Synth.mix2(4L, id) & 0x1F).toInt
+      val nFrames = 8 + (Synth.mix2(5L, id) & 0x7).toInt
       val payload = kind match {
         case "image" => synthPng(id, width, height)
         case "audio" =>
           synthWav(id, 256 + (Synth.mix2(2L, id) & 0x3FF).toInt, 16000)
-        case _ =>
-          val len = 256 + (Synth.mix2(2L, id) & 0x3FF).toInt
-          Array.tabulate[Byte](len)(i => (Synth.mix2(id, i.toLong) & 0xFF).toByte)
+        case _ => // video frames kept small: 16px + low bits of the dims
+          synthVideo(id, 16 + (width & 7), 16 + (height & 7), nFrames)
       }
       MediaRow(id, kind, payload, width, height,
-        sample_rate = 16000, n_frames = 8 + (Synth.mix2(5L, id) & 0x7).toInt)
-    }
-  }
-
-  /** STUB codec for VIDEO only (image and audio decode are real — see
-    * [[imageFeatures]], [[audioFeatures]]). A real build replaces these
-    * with actual decoders; the fake is a pure function of the payload
-    * bytes — deterministic, cluster-size independent. */
-  object StubCodec {
-    /** STUB: "decode" → sample stream derived from payload hash. */
-    def decodeLuma(payload: Array[Byte], nPixels: Int): Array[Double] = {
-      var h = 0xCAFEL
-      payload.foreach(b => h = Synth.mix(h ^ (b & 0xFFL)))
-      Array.tabulate(nPixels)(i => (Synth.mix2(h, i.toLong) & 0xFFFFL).toDouble / 0xFFFF)
+        sample_rate = 16000, n_frames = nFrames)
     }
   }
 
@@ -249,15 +285,44 @@ object MediaOps {
     }
   }
 
-  /** Frame sampling for video rows: every `stride`-th frame, flatMap
-    * (1 row in → n frames out), deterministic. STUB decode (no video
-    * codec in-container). */
+  /** Mean BT.601 luma over a decoded raster. */
+  private def meanLuma(img: BufferedImage): Double = {
+    val w = img.getWidth; val h = img.getHeight
+    if (w * h == 0) 0.0
+    else {
+      var sum = 0.0; var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) { sum += luma(img.getRGB(x, y)); x += 1 }
+        y += 1
+      }
+      sum / (w.toLong * h)
+    }
+  }
+
+  /**
+   * Frame sampling for video rows: every `stride`-th frame, flatMap
+   * (1 row in → n frames out).
+   *
+   * REAL decode: the GFV1 offset index is seeked and ONLY the sampled
+   * frames are `ImageIO.read` (a 1-in-k stride does 1/k of the decode
+   * work — the point of the index). Frame count comes from the container
+   * header, not the metadata column. Non-GFV1 payloads and undecodable
+   * frames are dropped, never silently faked.
+   */
   def sampleFrames(media: Dataset[MediaRow], stride: Int = 2): Dataset[FrameSample] = {
     import media.sparkSession.implicits._
-    media.filter(_.kind == "video").flatMap { r =>
-      (0 until r.n_frames by stride).map { f =>
-        val px = StubCodec.decodeLuma(r.payload :+ f.toByte, 64)
-        FrameSample(r.media_id, f, px.sum / px.length)
+    require(stride > 0, s"stride=$stride must be positive")
+    media.filter(_.kind == "video").mapPartitions { rows =>
+      ImageIO.setUseCache(false)
+      rows.flatMap { r =>
+        Gfv1.frameCount(r.payload).toSeq.flatMap { n =>
+          (0 until n by stride).flatMap { f =>
+            val bytes = Gfv1.frame(r.payload, n, f)
+            Option(ImageIO.read(new ByteArrayInputStream(bytes)))
+              .map(img => FrameSample(r.media_id, f, meanLuma(img)))
+          }
+        }
       }
     }
   }

@@ -335,10 +335,49 @@ class OperatorSpec extends SparkTestBase {
     assert(math.abs(white.mean_luma - 1.0) < 1e-9)
     assert(white.embedding.forall(v => math.abs(v - 1.0f) < 1e-6f))
     assert(black.mean_luma == 0.0 && black.embedding.forall(_ == 0f))
+  }
+
+  test("video decode is real: GFV1 seek + PNG frame round-trip exact luma") {
+    import java.awt.image.BufferedImage
+    import java.io.ByteArrayOutputStream
+    def png(rgb: Int, w: Int, h: Int): Array[Byte] = {
+      val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, rgb)
+      val bos = new ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos); bos.toByteArray
+    }
+    // 5 frames alternating white/black; stride 2 must pick 0,2,4 (all
+    // white) — seek correctness shows up as exact per-frame luma
+    val vid = MediaOps.Gfv1.encode(
+      (0 until 5).map(f => png(if (f % 2 == 0) 0xFFFFFF else 0x000000, 6, 4)))
+    val rows = Seq(
+      MediaOps.MediaRow(1L, "video", vid, 6, 4, 0, 5),
+      MediaOps.MediaRow(2L, "video", Array[Byte](9, 9, 9), 0, 0, 0, 3), // not GFV1
+      MediaOps.MediaRow(3L, "image", png(0xFFFFFF, 2, 2), 2, 2, 0, 0))  // filtered
+    val all = MediaOps.sampleFrames(spark.createDataset(rows), stride = 1)
+      .collect().sortBy(f => (f.media_id, f.frame_idx))
+    assert(all.map(f => (f.media_id, f.frame_idx)).toSeq ==
+      (0 until 5).map(f => (1L, f)))
+    assert(all.forall(f =>
+      math.abs(f.frame_luma - (if (f.frame_idx % 2 == 0) 1.0 else 0.0)) < 1e-9))
+    val strided = MediaOps.sampleFrames(spark.createDataset(rows), stride = 2)
+      .collect().sortBy(_.frame_idx)
+    assert(strided.map(_.frame_idx).toSeq == Seq(0, 2, 4))
+    assert(strided.forall(f => math.abs(f.frame_luma - 1.0) < 1e-9))
+    // synthetic corpus: deterministic, frame count from the container
+    // header (= n_frames metadata for synthMedia rows)
     val frames = MediaOps.sampleFrames(MediaOps.synthMedia(spark, 100L), stride = 2)
-    assert(frames.count() > 0)
-    val perVideo = frames.groupByKey(_.media_id).count().collect()
-    assert(perVideo.forall(_._2 <= 8)) // ≤ n_frames/stride + 1
+    val f1 = frames.collect().sortBy(f => (f.media_id, f.frame_idx))
+    val f2 = MediaOps.sampleFrames(MediaOps.synthMedia(spark, 100L), stride = 2)
+      .collect().sortBy(f => (f.media_id, f.frame_idx))
+    assert(f1.length > 0 && f1.map(f => (f.media_id, f.frame_idx, f.frame_luma)).toSeq ==
+      f2.map(f => (f.media_id, f.frame_idx, f.frame_luma)).toSeq)
+    val meta = MediaOps.synthMedia(spark, 100L).filter(_.kind == "video")
+      .collect().map(r => r.media_id -> r.n_frames).toMap
+    val perVideo = f1.groupBy(_.media_id).view.mapValues(_.length)
+    assert(perVideo.forall { case (id, c) => c == (meta(id) + 1) / 2 })
+    // uniform-hash pixels: mean luma of every frame near 0.5
+    assert(f1.forall(f => math.abs(f.frame_luma - 0.5) < 0.08))
   }
 
   test("audio decode is real: known WAVs round-trip exact RMS/ZCR") {
