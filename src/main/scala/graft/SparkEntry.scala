@@ -915,6 +915,24 @@ object SparkEntry {
         .select(col("media_id"), col("frame_idx"),
           round(col("frame_luma"), 4).as("frame_luma"))
         .orderBy("media_id", "frame_idx")
+    }),
+
+    "q75_css_extract" -> ((s, dir) => { // REAL CSS engine (C25): schema-driven extraction
+      val cfg = SynthConfig(nPages = 400L, nHosts = 5)
+      PageSynth.pages(s, cfg).toDF()
+        .select(col("url"), explode(gf.css_extract(col("html").cast("string"),
+          ".facility-card",
+          "h1, h2, h3, .facility-name",
+          "[itemprop='streetAddress']",
+          "[itemprop='addressLocality']",
+          "[itemprop='addressRegion']",
+          "[itemprop='postalCode']",
+          "a[href^='tel:']",
+          ".services li:first-child")).as("r"))
+        .select(col("url"), col("r.f0").as("name"), col("r.f1").as("street"),
+          col("r.f2").as("city"), col("r.f3").as("state"), col("r.f4").as("zip"),
+          col("r.f5").as("phone"), col("r.f6").as("first_service"))
+        .orderBy("url")
     })
   )
 
@@ -1257,6 +1275,7 @@ object SparkEntry {
     "q47_semdedup" -> fixtureOracle("q47_semdedup"),
     "q73_audio_features" -> fixtureOracle("q73_audio_features"),
     "q74_video_frames" -> fixtureOracle("q74_video_frames"),
+    "q75_css_extract" -> fixtureOracle("q75_css_extract"),
     "q44_repetition" -> q44OracleSql,
     "q45_pii" -> q45OracleSql,
     "q46_decontaminate" ->

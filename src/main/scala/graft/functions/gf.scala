@@ -30,6 +30,19 @@ object gf {
     * anchor-text half of F3). Use in select() like explode(). */
   def extract_links(html: Column): Column = column(ExtractLinks(expression(html)))
 
+  /** Real CSS-selector query: text of every match, document order
+    * (SURVEY.md C25 — see [[graft.expr.CssSelectAll]]). Selector must be
+    * a literal. */
+  def css_select_all(html: Column, selector: String): Column =
+    column(CssSelectAll(expression(html), expression(lit(selector))))
+
+  /** Schema-driven CSS extraction: one struct per baseSelector match,
+    * one field (f0..fn) per field selector's first match in that scope
+    * (see [[graft.expr.CssExtract]]). Selectors must be literals. */
+  def css_extract(html: Column, baseSelector: String, fieldSelectors: String*): Column =
+    column(CssExtract(
+      expression(html) +: (baseSelector +: fieldSelectors).map(s => expression(lit(s)))))
+
   /** Reference URLScorer score (url_scorer.py:44-115) as one codegen'd
     * expression node; base nullable (null → depth 0). */
   def url_score(url: Column, base: Column): Column =

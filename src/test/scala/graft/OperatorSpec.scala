@@ -461,4 +461,59 @@ class OperatorSpec extends SparkTestBase {
     assert(spark.read.parquet(s"$dir/summary").as[(String, Long)]
       .collect().toSeq == Seq(("total", 2L)))
   }
+
+  test("xlsx sink (K3): a real OOXML workbook — zip structure, rels, typed cells") {
+    import javax.xml.parsers.DocumentBuilderFactory
+    import org.w3c.dom.Element
+    val path = tmpDir("xlsx") + "/report.xlsx"
+    val facilities = Seq(
+      ("St. Mary's <Care> & Rehab", Seq("nursing", "rehab"), 120L, 0.93, true),
+      ("Plainview", Seq.empty[String], 45L, 0.51, false))
+      .toDF("name", "services", "beds", "confidence", "valid")
+    val summary = Seq(("total_sites", 2L)).toDF("metric", "value")
+    Sinks.writeXlsx(Seq("facilities" -> facilities, "summary" -> summary), path)
+
+    // read back with JDK zip + DOM only — independent of the writer
+    val zf = new java.util.zip.ZipFile(path)
+    def xml(name: String): Element = {
+      val e = zf.getEntry(name); assert(e != null, s"missing zip part $name")
+      DocumentBuilderFactory.newInstance().newDocumentBuilder()
+        .parse(zf.getInputStream(e)).getDocumentElement
+    }
+    try {
+      assert(xml("[Content_Types].xml").getElementsByTagName("Override").getLength == 3)
+      val sheets = xml("xl/workbook.xml").getElementsByTagName("sheet")
+      assert(sheets.getLength == 2)
+      assert(sheets.item(0).getAttributes.getNamedItem("name").getNodeValue == "facilities")
+      assert(xml("xl/_rels/workbook.xml.rels").getElementsByTagName("Relationship").getLength == 2)
+      val rows = xml("xl/worksheets/sheet1.xml").getElementsByTagName("row")
+      assert(rows.getLength == 3) // header + 2 data rows
+      def cells(r: Int): Seq[Element] = {
+        val cs = rows.item(r).asInstanceOf[Element].getElementsByTagName("c")
+        (0 until cs.getLength).map(cs.item(_).asInstanceOf[Element])
+      }
+      assert(cells(0).map(_.getTextContent) ==
+        Seq("name", "services", "beds", "confidence", "valid"))
+      val r1 = cells(1)
+      assert(r1(0).getAttribute("t") == "inlineStr" &&
+        r1(0).getTextContent == "St. Mary's <Care> & Rehab") // XML escaping survives
+      assert(r1(1).getTextContent == "nursing | rehab")      // arrays pipe-joined
+      assert(r1(2).getAttribute("t") == "" && r1(2).getTextContent == "120") // native numeric
+      assert(r1(3).getTextContent == "0.93")
+      assert(r1(4).getAttribute("t") == "b" && r1(4).getTextContent == "1")
+      assert(cells(2)(4).getTextContent == "0")
+      val s2 = xml("xl/worksheets/sheet2.xml").getElementsByTagName("row")
+      assert(s2.getLength == 2)
+    } finally zf.close()
+    // the bounded contract refuses oversized sheets instead of truncating
+    intercept[IllegalArgumentException] {
+      Sinks.writeXlsx(Seq("big" -> facilities), path, maxRowsPerSheet = 2)
+    }
+    intercept[IllegalArgumentException] {
+      Sinks.writeXlsx(Seq("bad[name" -> summary), path)
+    }
+    assert(Sinks.colLetters(0) == "A" && Sinks.colLetters(25) == "Z" &&
+      Sinks.colLetters(26) == "AA" && Sinks.colLetters(701) == "ZZ" &&
+      Sinks.colLetters(702) == "AAA")
+  }
 }
