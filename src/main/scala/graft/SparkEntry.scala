@@ -10,7 +10,7 @@ import graft.frontier.{Crawler, CrawlRound}
 import graft.extract.{Classify, Dedup, FacilityExtract, Validation}
 import graft.functions.UrlPredicates
 import graft.sources.Sitemap
-import graft.text.{Chunker, Decontaminate, Dsir, LineDedup, Packing, Pii, PrepStack, Repetition, Sampling, SpanScrub, TextOps, TextPipeline, Tfidf, UnigramLm}
+import graft.text.{BigramLm, Chunker, Decontaminate, Dsir, InvertedIndex, LineDedup, Packing, Pii, PrepStack, Repetition, Sampling, SpanScrub, TextOps, TextPipeline, Tfidf, UnigramLm}
 import graft.dedup.{DupClusters, NearDup}
 import graft.ann.{SemDedup, SemanticDecontaminate, Similarity}
 import graft.multimodal.MediaOps
@@ -933,6 +933,52 @@ object SparkEntry {
           col("r.f2").as("city"), col("r.f3").as("state"), col("r.f4").as("zip"),
           col("r.f5").as("phone"), col("r.f6").as("first_service"))
         .orderBy("url")
+    }),
+
+    "q76_pagerank" -> ((s, dir) => { // link-graph PageRank (frontier priority signal)
+      // deterministic directed graph over the doc ids: docs with id%10==7
+      // are dangling (exercise the dangling-mass path); every other doc
+      // links to (id*17 + j*31) mod N for j ∈ {1,2,3}. The oracle unrolls
+      // the identical 5 power iterations in SQL.
+      val nodes = T(s, dir, "documents").select("doc_id")
+      val nRow = broadcast(nodes.agg(count(lit(1)).as("__n")))
+      val edges = nodes.crossJoin(nRow)
+        .filter(pmod(col("doc_id"), lit(10)) =!= 7)
+        .select(col("doc_id").as("src"),
+          explode(array(lit(1L), lit(2L), lit(3L))).as("j"), col("__n"))
+        .select(col("src"),
+          pmod(col("src") * lit(17L) + col("j") * lit(31L), col("__n")).as("dst"))
+      graph.PageRank.run(nodes, "doc_id", edges, "src", "dst",
+          damping = 0.85, iters = 5)
+        .select(col("doc_id"), round(col("pagerank"), 7).as("pagerank"))
+        .orderBy("doc_id")
+    }),
+
+    "q77_inverted_index" -> ((s, dir) => // term → capped posting list
+      InvertedIndex.build(T(s, dir, "documents").select("doc_id", "text"),
+          "doc_id", "text", cap = 10)
+        .orderBy("term")),
+
+    "q78_bigram_nll" -> ((s, dir) => // interpolated bigram-LM surprise
+      BigramLm.score(T(s, dir, "documents").select("doc_id", "text"),
+          "doc_id", "text", lambda = 0.7)
+        .orderBy("doc_id")),
+
+    "q79_prefix_rollup" -> ((s, dir) => { // per-directory crawl-budget rollup
+      // ROLLUP grouping sets over the synthetic URL path hierarchy: the
+      // per-host / per-directory page counts a frontier uses to allocate
+      // crawl budgets at every prefix depth in ONE aggregation pass.
+      val u = T(s, dir, "documents").select(
+        concat(lit("h"), pmod(col("doc_id"), lit(20)).cast("string")).as("host"),
+        concat(lit("a"), pmod(col("doc_id"), lit(3)).cast("string")).as("seg1"),
+        concat(lit("b"), pmod(col("doc_id"), lit(5)).cast("string")).as("seg2"))
+      u.rollup("host", "seg1", "seg2")
+        .agg(count(lit(1)).as("n_pages"))
+        .select(coalesce(col("host"), lit("*")).as("host"),
+          coalesce(col("seg1"), lit("*")).as("seg1"),
+          coalesce(col("seg2"), lit("*")).as("seg2"),
+          col("n_pages"))
+        .orderBy("host", "seg1", "seg2")
     })
   )
 
@@ -1257,6 +1303,39 @@ object SparkEntry {
        |  UNION
        |  SELECT e.u, r.lbl FROM e JOIN r ON r.id = e.v)""".stripMargin
 
+  /** q76 oracle: the q76 graph + 5 unrolled PageRank power iterations.
+    * Each rK CTE recomputes (1−d)/N + d·(in-contributions + danglingMass/N)
+    * from r{K-1}; constants appear as the same decimal literals Spark
+    * folds ((1 - 0.85), 0.85), and every division is on exact integer
+    * counts, so the only cross-engine drift is double sum order (~1e-16,
+    * far under the 7-dp rounding). */
+  private def q76OracleSql: String = {
+    val iters = (1 to 5).map { k =>
+      val p = s"r${k - 1}"
+      s"""r$k AS (
+         | SELECT ids.id,
+         |   (1 - 0.85)/(SELECT n FROM nn)
+         |   + 0.85*( coalesce(inb.s, 0)
+         |     + (SELECT coalesce(sum(r), 0) FROM $p
+         |        WHERE id NOT IN (SELECT src FROM deg)) / (SELECT n FROM nn)
+         |   ) AS r
+         | FROM ids LEFT JOIN (
+         |   SELECT e.dst AS id, sum(p.r / deg.d) AS s
+         |   FROM e JOIN $p p ON e.src = p.id JOIN deg ON deg.src = e.src
+         |   GROUP BY e.dst) inb USING (id))""".stripMargin
+    }.mkString(",\n")
+    s"""WITH nn AS (SELECT count(*)::DOUBLE AS n FROM documents),
+       |ids AS (SELECT doc_id AS id FROM documents),
+       |e AS (SELECT id AS src,
+       |   (id*17 + v.j*31) % (SELECT count(*) FROM ids) AS dst
+       |  FROM ids, (VALUES (1), (2), (3)) v(j) WHERE id % 10 <> 7),
+       |deg AS (SELECT src, count(*)::DOUBLE AS d FROM e GROUP BY src),
+       |r0 AS (SELECT id, 1.0/(SELECT n FROM nn) AS r FROM ids),
+       |$iters
+       |SELECT id AS doc_id, round(r, 7) AS pagerank FROM r5
+       |ORDER BY doc_id""".stripMargin
+  }
+
   /** Golden-fixture oracle (see [[GenDriverFixtures]]): the query has no
     * sf-table input (deterministic synthetic corpus + custom expressions
     * DuckDB cannot evaluate), so its once-pinned result parquet IS the
@@ -1276,6 +1355,56 @@ object SparkEntry {
     "q73_audio_features" -> fixtureOracle("q73_audio_features"),
     "q74_video_frames" -> fixtureOracle("q74_video_frames"),
     "q75_css_extract" -> fixtureOracle("q75_css_extract"),
+    // q76 oracle: the identical graph (id%10==7 dangling, else 3 edges to
+    // (id*17 + j*31) mod N) through 5 UNROLLED power iterations — damping,
+    // dangling-mass redistribution, and teleport all recomputed in SQL;
+    // both engines round the final rank to 7 dp (double sum-order ulps
+    // are ~1e-16, nine orders below the rounding grain)
+    "q76_pagerank" -> q76OracleSql,
+    // q77 oracle: ordered string_agg reproduces the capped posting string
+    // byte-for-byte; CAST sum→BIGINT (DuckDB sum(BIGINT) is HUGEINT)
+    "q77_inverted_index" ->
+      s"""WITH w AS (SELECT doc_id, $wordsSql AS words FROM documents),
+         |e AS (SELECT doc_id, unnest(words) AS term FROM w),
+         |tf AS (SELECT term, doc_id, count(*) AS tf FROM e GROUP BY term, doc_id),
+         |rk AS (SELECT *, row_number() OVER (
+         |   PARTITION BY term ORDER BY tf DESC, doc_id) AS rk FROM tf),
+         |stats AS (SELECT term, count(*) AS df,
+         |   CAST(sum(tf) AS BIGINT) AS total_tf FROM tf GROUP BY term),
+         |posts AS (SELECT term, string_agg(doc_id || ':' || tf, ','
+         |   ORDER BY rk) AS postings FROM rk WHERE rk <= 10 GROUP BY term)
+         |SELECT term, df, total_tf, postings
+         |FROM stats JOIN posts USING (term) ORDER BY term""".stripMargin,
+    // q78 oracle: identical interpolated bigram model — bigram/context/
+    // unigram counts from the corpus's own words, λ=0.7, round(nll, 4)
+    "q78_bigram_nll" ->
+      s"""WITH w AS (SELECT doc_id, $wordsSql AS words FROM documents),
+         |b AS (SELECT doc_id, words[i] AS w1, words[i+1] AS w2
+         |  FROM w, unnest(range(1, len(words))) AS t(i)),
+         |cb AS (SELECT w1, w2, count(*) AS cb FROM b GROUP BY w1, w2),
+         |cc AS (SELECT w1, count(*) AS cc FROM b GROUP BY w1),
+         |e AS (SELECT unnest(words) AS term FROM w),
+         |cu AS (SELECT term, count(*) AS cu FROM e GROUP BY term),
+         |tot AS (SELECT count(*)::DOUBLE AS t FROM e),
+         |s AS (SELECT b.doc_id,
+         |    -ln(0.7*(cb.cb/cc.cc) + (1.0 - 0.7)*(cu.cu/(SELECT t FROM tot))) AS lp
+         |  FROM b JOIN cb USING (w1, w2) JOIN cc USING (w1)
+         |  JOIN cu ON cu.term = b.w2),
+         |agg AS (SELECT doc_id, count(*) AS nb, avg(lp) AS alp
+         |  FROM s GROUP BY doc_id)
+         |SELECT w.doc_id, CAST(coalesce(agg.nb, 0) AS BIGINT) AS n_bigrams,
+         |  round(coalesce(agg.alp, 0.0), 4) AS nll
+         |FROM w LEFT JOIN agg USING (doc_id) ORDER BY doc_id""".stripMargin,
+    // q79 oracle: the same ROLLUP grouping sets; NULL grouping rows are
+    // masked to '*' in both engines (no synthetic segment is ever '*')
+    "q79_prefix_rollup" ->
+      """WITH u AS (SELECT 'h' || (doc_id % 20) AS host,
+        |  'a' || (doc_id % 3) AS seg1, 'b' || (doc_id % 5) AS seg2
+        |  FROM documents)
+        |SELECT coalesce(host, '*') AS host, coalesce(seg1, '*') AS seg1,
+        |  coalesce(seg2, '*') AS seg2, count(*) AS n_pages
+        |FROM u GROUP BY ROLLUP (host, seg1, seg2)
+        |ORDER BY host, seg1, seg2""".stripMargin,
     "q44_repetition" -> q44OracleSql,
     "q45_pii" -> q45OracleSql,
     "q46_decontaminate" ->

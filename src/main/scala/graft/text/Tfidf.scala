@@ -74,3 +74,63 @@ object UnigramLm {
         round(coalesce(avg(-log(col("cnt") / col("__t"))), lit(0.0)), 4).as("nll"))
   }
 }
+
+/**
+ * Interpolated bigram language model — the next rung above [[UnigramLm]]
+ * toward the CCNet KenLM-perplexity quality signal: a CONDITIONAL model,
+ * so templated token soup ("a a a a") that fools unigram frequency gets
+ * a proper (low-surprise) score and rare-but-grammatical text is not
+ * over-penalized.
+ *
+ *   p(w₂|w₁) = λ·c(w₁w₂)/c(w₁·) + (1−λ)·c(w₂)/T
+ *
+ * with c(w₁·) the bigram-context count (NOT the unigram count — a doc's
+ * final word opens no context), T the corpus word total, and Jelinek-
+ * Mercer interpolation weight λ. Per-doc score = avg over the doc's
+ * bigram tokens of −ln p; docs with < 2 words score 0.
+ *
+ * Scale shape: one words-projection feeds both the bigram explode and
+ * the unigram explode; all three count tables (bigram, context,
+ * unigram) are map-side-combinable hash aggs keyed on terms; scoring
+ * joins the bigram-instance table against them on term keys only —
+ * text never shuffles, the model never collects.
+ */
+object BigramLm {
+
+  /** (id, n_bigrams, nll) with nll = round(avg −ln p(w₂|w₁), 4). */
+  def score(docs: DataFrame, idCol: String, textCol: String,
+            lambda: Double = 0.7): DataFrame = {
+    val base = docs
+      .select(col(idCol), TextOps.words(col(textCol)).as("__ws"))
+      .localCheckpoint(false) // feeds bigrams, unigrams, and the doc spine
+    val bigrams = base
+      .select(col(idCol),
+        explode(when(size(col("__ws")) >= 2,
+          arrays_zip(
+            slice(col("__ws"), lit(1), size(col("__ws")) - 1).as("w1"),
+            slice(col("__ws"), lit(2), size(col("__ws")) - 1).as("w2")))
+          .otherwise(array())).as("__bg"))
+      .select(col(idCol), col("__bg.w1").as("w1"), col("__bg.w2").as("w2"))
+      .localCheckpoint(false) // feeds cb, cc, and the scoring join
+    val unigrams = base.select(explode(col("__ws")).as("term"))
+    val cb = bigrams.groupBy("w1", "w2").agg(count(lit(1)).as("__cb"))
+    val cc = bigrams.groupBy("w1").agg(count(lit(1)).as("__cc"))
+    val cu = unigrams.groupBy("term").agg(count(lit(1)).as("__cu"))
+    val total = unigrams.agg(count(lit(1)).cast("double").as("__t"))
+    val scored = bigrams
+      .join(cb, Seq("w1", "w2"))
+      .join(cc, Seq("w1"))
+      .join(cu, bigrams("w2") === cu("term"))
+      .crossJoin(broadcast(total))
+      .select(col(idCol),
+        (-log(lit(lambda) * (col("__cb") / col("__cc")) +
+          (lit(1.0) - lambda) * (col("__cu") / col("__t")))).as("__lp"))
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("__nb"), avg("__lp").as("__nll"))
+    base.select(col(idCol))
+      .join(scored, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("__nb"), lit(0L)).as("n_bigrams"),
+        round(coalesce(col("__nll"), lit(0.0)), 4).as("nll"))
+  }
+}
