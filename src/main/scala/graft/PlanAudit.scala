@@ -102,6 +102,18 @@ object PlanAudit {
     graft.text.SpanScrub.scrub(docs, "doc_id", "text", k = 6, minDf = 2)
       .explain("formatted")
 
+    println("==== pagerank iteration: edge⋈rank equi-join + dst hash agg, 1-row dangling/N broadcasts ====")
+    val prNodes = docs.select($"doc_id".as("id"))
+    val prEdges = prNodes.filter(pmod($"id", lit(10)) =!= 7)
+      .select($"id".as("src"), pmod($"id" * 17 + 31, lit(500L)).as("dst"))
+    graft.graph.PageRank.run(prNodes, "id", prEdges, "src", "dst",
+      damping = 0.85, iters = 1, checkpointRounds = false)
+      .explain("formatted")
+
+    println("==== inverted index: postings capped by rank BEFORE collect_list ====")
+    graft.text.InvertedIndex.build(docs, "doc_id", "text", cap = 10)
+      .explain("formatted")
+
     println("==== source gate: tiny stats agg, AQE-broadcast gate join ====")
     graft.text.Sampling.sourceQualityGate(
       spark.read.parquet(s"$dir/documents.parquet")

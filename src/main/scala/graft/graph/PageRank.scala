@@ -42,7 +42,13 @@ object PageRank {
    */
   def run(nodes: DataFrame, idCol: String,
           edges: DataFrame, srcCol: String, dstCol: String,
-          damping: Double = 0.85, iters: Int = 5): DataFrame = {
+          damping: Double = 0.85, iters: Int = 5,
+          checkpointRounds: Boolean = true): DataFrame = {
+    // checkpointRounds=false is for PlanAudit only: it leaves the full
+    // per-iteration lineage visible to explain() (checkpointed plans
+    // collapse to RDD scans); real runs always truncate per round.
+    def ck(df: DataFrame): DataFrame =
+      if (checkpointRounds) df.localCheckpoint(false) else df
     val ids = nodes.select(col(idCol).cast("long").as("id"))
     val e = edges.select(col(srcCol).cast("long").as("src"),
       col(dstCol).cast("long").as("dst"))
@@ -53,14 +59,14 @@ object PageRank {
     // per-edge contribution skeleton: (src, dst, 1/outdeg) — computed once
     val contrib = e.join(deg, "src")
       .select(col("src"), col("dst"), (lit(1.0) / col("__deg")).as("__w"))
-      .localCheckpoint(false)
+      .transform(ck)
     // nodes with no out-edges (their whole rank is dangling mass)
     val dangling = ids.join(deg.select(col("src").as("id")), Seq("id"), "left_anti")
-      .localCheckpoint(false)
+      .transform(ck)
 
     var ranks = ids.crossJoin(nRow)
       .select(col("id"), (lit(1.0) / col("__n")).as("r"))
-      .localCheckpoint(false)
+      .transform(ck)
     for (_ <- 1 to iters) {
       val dMass = broadcast(
         dangling.join(ranks, "id")
@@ -70,14 +76,16 @@ object PageRank {
         .groupBy("dst")
         .agg(sum(col("r") * col("__w")).as("__in"))
         .withColumnRenamed("dst", "id")
+      // shuffle-hash, not sort-merge: both sides are O(N) keyed by a
+      // random 64-bit id — sorting buys nothing (the J7 convention)
       ranks = ids
-        .join(inbound, Seq("id"), "left")
+        .join(inbound.hint("shuffle_hash"), Seq("id"), "left")
         .crossJoin(nRow).crossJoin(dMass)
         .select(col("id"),
           ((lit(1.0) - damping) / col("__n") +
             lit(damping) * (coalesce(col("__in"), lit(0.0)) +
               col("__dm") / col("__n"))).as("r"))
-        .localCheckpoint(false)
+        .transform(ck)
     }
     ranks.select(col("id").as(idCol), col("r").as("pagerank"))
   }
