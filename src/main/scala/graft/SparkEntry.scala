@@ -979,6 +979,29 @@ object SparkEntry {
           coalesce(col("seg2"), lit("*")).as("seg2"),
           col("n_pages"))
         .orderBy("host", "seg1", "seg2")
+    }),
+
+    "q80_counting_recrawl" -> ((s, dir) => { // deletable seen filter + retirement
+      // seen = docs with id%3≠2; recrawl retires the id%7==1 slice of seen;
+      // candidates = every doc url. The COUNTING bloom state is built, the
+      // retired slice is subtracted (no full rebuild), and candidates flow
+      // through the pre-filter + exact anti-join — whose verdict is exact
+      // by construction, so the oracle re-derives the readmission set in
+      // pure SQL: unseen (%3==2) ∪ retired (%3≠2 ∧ %7==1).
+      val withUrl = T(s, dir, "documents").select(
+          col("doc_id"), docUrl.as("url"))
+        .withColumn("urlHash", gf.url_id(col("url")))
+      val seen = withUrl.filter(pmod(col("doc_id"), lit(3)) =!= 2)
+        .select("urlHash")
+      val retired = withUrl.filter(pmod(col("doc_id"), lit(3)) =!= 2 &&
+        pmod(col("doc_id"), lit(7)) === 1).select("urlHash")
+      val ccfg = CrawlConfig(bloomBuckets = 8)
+      val state = frontier.SeenSet.retireFromCounting(
+        frontier.SeenSet.buildCountingBlooms(seen, 1024L, ccfg),
+        retired, 1024L, ccfg)
+      val seenAfter = seen.join(retired, Seq("urlHash"), "left_anti")
+      frontier.SeenSet.filterUnseenCounting(withUrl, seenAfter, state, ccfg)
+        .select("doc_id").orderBy("doc_id")
     })
   )
 
@@ -1395,6 +1418,13 @@ object SparkEntry {
          |SELECT w.doc_id, CAST(coalesce(agg.nb, 0) AS BIGINT) AS n_bigrams,
          |  round(coalesce(agg.alp, 0.0), 4) AS nll
          |FROM w LEFT JOIN agg USING (doc_id) ORDER BY doc_id""".stripMargin,
+    // q80 oracle: the counting pre-filter only accelerates — the exact
+    // anti-join keeps the verdict exact, so the readmission set is pure
+    // set algebra: unseen (%3==2) ∪ retired-from-seen (%3≠2 ∧ %7==1)
+    "q80_counting_recrawl" ->
+      """SELECT doc_id FROM documents
+        |WHERE doc_id % 3 = 2 OR (doc_id % 3 <> 2 AND doc_id % 7 = 1)
+        |ORDER BY doc_id""".stripMargin,
     // q79 oracle: the same ROLLUP grouping sets; NULL grouping rows are
     // masked to '*' in both engines (no synthetic segment is ever '*')
     "q79_prefix_rollup" ->

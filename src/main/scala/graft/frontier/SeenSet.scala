@@ -67,6 +67,64 @@ object SeenSet {
       BloomState(buildBlooms(seenHashes, cap, cfg), cap, newCount)
   }
 
+  // ---- counting-bloom (deletable) state: the recrawl-aware variant ----
+
+  /** (bloomBucket, cbloom) over the seen hashes — the DELETABLE
+    * pre-filter ([[graft.core.CountingBloom]]): one byte per position
+    * instead of one bit (8× the plain bloom's footprint — the price of
+    * retirement without a full-state rebuild). Use when recrawl
+    * scheduling retires seen entries ([[SnapshotDiff.recrawlPlan]]);
+    * drain-only crawls keep the plain [[BloomState]]. */
+  def buildCountingBlooms(seenHashes: DataFrame, expectedPerBucket: Long,
+                          cfg: CrawlConfig): DataFrame =
+    seenHashes
+      .groupBy(pmod(col("urlHash"), lit(cfg.bloomBuckets)).as("bloomBucket"))
+      .agg(gf.cbloom_agg(col("urlHash"), expectedPerBucket, cfg.bloomFpp)
+        .as("cbloom"))
+
+  /** Fold a round's ADD delta into counting state (vector add — exactly
+    * the filter of the union, like the plain bloom's OR-merge). */
+  def addToCounting(state: DataFrame, deltaHashes: DataFrame,
+                    capacityPerBucket: Long, cfg: CrawlConfig): DataFrame =
+    state.unionByName(
+        buildCountingBlooms(deltaHashes, capacityPerBucket, cfg))
+      .groupBy("bloomBucket")
+      .agg(gf.cbloom_merge_agg(col("cbloom")).as("cbloom"))
+
+  /** Retire hashes from counting state: build a deletion filter of the
+    * SAME shape per bucket and subtract it element-wise. Retired keys
+    * must come from the seen set (they do: [[SnapshotDiff.recrawlPlan]]
+    * retires `changed ∪ removed`, both present in seen) — the result is
+    * byte-identical to rebuilding from `seen ∖ retired` (spec-asserted),
+    * with NO full-state scan: the round pays O(retired), not O(seen). */
+  def retireFromCounting(state: DataFrame, retiredHashes: DataFrame,
+                         capacityPerBucket: Long, cfg: CrawlConfig): DataFrame = {
+    val deltas = buildCountingBlooms(retiredHashes, capacityPerBucket, cfg)
+      .withColumnRenamed("cbloom", "__delta")
+    state.join(deltas, Seq("bloomBucket"), "left")
+      .select(col("bloomBucket"),
+        when(col("__delta").isNull, col("cbloom"))
+          .otherwise(gf.cbloom_subtract(col("cbloom"), col("__delta")))
+          .as("cbloom"))
+  }
+
+  /** [[filterUnseen]] against counting-filter state (same split: bloom
+    * miss → definitely new, bloom hit → exact anti-join verdict). */
+  def filterUnseenCounting(candidates: DataFrame, seenHashes: DataFrame,
+                           cblooms: DataFrame, cfg: CrawlConfig): DataFrame = {
+    val tested = candidates
+      .withColumn("bloomBucket", pmod(col("urlHash"), lit(cfg.bloomBuckets)))
+      .join(broadcast(cblooms), Seq("bloomBucket"), "left")
+      .withColumn("maybeSeen",
+        col("cbloom").isNotNull &&
+          gf.cbloom_might_contain(col("cbloom"), col("urlHash")))
+      .drop("cbloom", "bloomBucket")
+    val definitelyNew = tested.filter(!col("maybeSeen")).drop("maybeSeen")
+    val verified = tested.filter(col("maybeSeen")).drop("maybeSeen")
+      .join(seenHashes.select("urlHash"), Seq("urlHash"), "left_anti")
+    definitelyNew.unionByName(verified)
+  }
+
   /**
    * candidates − seen. `candidates` must be unique by urlHash; result
    * preserves candidate columns. `prebuilt` carries incremental bloom

@@ -63,6 +63,25 @@ object gf {
   def might_contain(bloom: Column, value: Column): Column =
     column(MightContainLong(expression(bloom), expression(value)))
 
+  /** Counting-Bloom (deletable seen pre-filter) aggregate over LONGs —
+    * see [[graft.expr.CountingBloomAgg]] / [[graft.core.CountingBloom]]. */
+  def cbloom_agg(values: Column, expectedItems: Long, fpp: Double = 0.01): Column =
+    column(CountingBloomAgg(expression(values), expression(lit(expectedItems)), fpp)
+      .toAggregateExpression())
+
+  /** Vector-ADD merge of same-shape serialized counting filters. */
+  def cbloom_merge_agg(cbfs: Column): Column =
+    column(CountingBloomMergeAgg(expression(cbfs)).toAggregateExpression())
+
+  /** Retire a deletion batch (a counting filter over deleted keys) from
+    * counting-filter state: element-wise subtraction. */
+  def cbloom_subtract(state: Column, delta: Column): Column =
+    column(CbloomSubtract(expression(state), expression(delta)))
+
+  /** Test a LONG against a serialized counting filter. */
+  def cbloom_might_contain(cbf: Column, value: Column): Column =
+    column(CbloomMightContain(expression(cbf), expression(value)))
+
   /** URL identity per north rule: xxhash64 of canonical form. */
   def url_id(url: Column): Column = xxhash64(canonicalize_url(url))
 
