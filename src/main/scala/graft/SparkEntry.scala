@@ -1002,6 +1002,30 @@ object SparkEntry {
       val seenAfter = seen.join(retired, Seq("urlHash"), "left_anti")
       frontier.SeenSet.filterUnseenCounting(withUrl, seenAfter, state, ccfg)
         .select("doc_id").orderBy("doc_id")
+    }),
+
+    "q81_anchor_text" -> ((s, dir) => { // anchor-text aggregation per target
+      // the classic crawl→search signal: what OTHER pages' links call a
+      // page (C26 multi-column link Generator → resolve → canonicalize →
+      // per-target agg). Anchor sets are sorted then capped at 20 — a hot
+      // target (every page links "home") must not materialize an
+      // unbounded list at corpus scale.
+      val cfg = SynthConfig(nPages = 400L, nHosts = 5)
+      val pages = PageSynth.pages(s, cfg).toDF()
+      pages.select(col("url").as("srcUrl"),
+          gf.extract_links(col("html").cast("string"))
+            .as(Seq("href", "anchor_text", "rel")))
+        .filter(length(trim(col("anchor_text"))) > 0)
+        .select(col("srcUrl"),
+          gf.canonicalize_url(gf.resolve_url(col("srcUrl"), col("href")))
+            .as("target"),
+          lower(trim(col("anchor_text"))).as("anchor"))
+        .groupBy("target")
+        .agg(count_distinct(col("srcUrl")).as("n_sources"),
+          count(lit(1)).as("n_anchors"),
+          array_join(slice(array_sort(collect_set(col("anchor"))), 1, 20), "|")
+            .as("anchors"))
+        .orderBy("target")
     })
   )
 
@@ -1378,6 +1402,7 @@ object SparkEntry {
     "q73_audio_features" -> fixtureOracle("q73_audio_features"),
     "q74_video_frames" -> fixtureOracle("q74_video_frames"),
     "q75_css_extract" -> fixtureOracle("q75_css_extract"),
+    "q81_anchor_text" -> fixtureOracle("q81_anchor_text"),
     // q76 oracle: the identical graph (id%10==7 dangling, else 3 edges to
     // (id*17 + j*31) mod N) through 5 UNROLLED power iterations — damping,
     // dangling-mass redistribution, and teleport all recomputed in SQL;

@@ -59,4 +59,32 @@ class GraftExpressionsSpec extends SparkTestBase {
       .select(gf.url_id($"url")).distinct().count()
     assert(n == 100)
   }
+
+  test("anchor-text aggregation (q81 semantics): resolve+canonicalize+sorted cap") {
+    val pages = Seq(
+      ("https://a.example.com/",
+        """<a href="/p1">Home</a><a href='/p2'>About Us</a><a href="/p1"> </a>"""),
+      ("https://b.example.com/dir/x",
+        """<a href="https://a.example.com/p1">HOME</a><a href="p3">Deep</a>""")
+    ).toDF("url", "html")
+    val got = pages.select(col("url").as("srcUrl"),
+        gf.extract_links(col("html")).as(Seq("href", "anchor_text", "rel")))
+      .filter(length(trim(col("anchor_text"))) > 0)
+      .select(col("srcUrl"),
+        gf.canonicalize_url(gf.resolve_url(col("srcUrl"), col("href"))).as("target"),
+        lower(trim(col("anchor_text"))).as("anchor"))
+      .groupBy("target")
+      .agg(count_distinct(col("srcUrl")).as("n_sources"),
+        count(lit(1)).as("n_anchors"),
+        array_join(slice(array_sort(collect_set(col("anchor"))), 1, 20), "|")
+          .as("anchors"))
+      .orderBy("target")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(got.toSeq == Seq(
+      // whitespace-only anchor on /p1 filtered; "home" from both hosts
+      ("https://a.example.com/p1", 2L, 2L, "home"),
+      ("https://a.example.com/p2", 1L, 1L, "about us"),
+      // relative "p3" resolves against /dir/x → /dir/p3
+      ("https://b.example.com/dir/p3", 1L, 1L, "deep")))
+  }
 }
