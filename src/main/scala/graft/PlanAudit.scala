@@ -114,6 +114,13 @@ object PlanAudit {
     graft.text.InvertedIndex.build(docs, "doc_id", "text", cap = 10)
       .explain("formatted")
 
+    println("==== counting-bloom retirement: per-bucket subtract join (O(retired), no state rescan) ====")
+    val cbCfg = graft.core.CrawlConfig(bloomBuckets = 8)
+    val seenH = docs.select(xxhash64($"doc_id").as("urlHash"))
+    SeenSet.retireFromCounting(
+      SeenSet.buildCountingBlooms(seenH, 1024L, cbCfg),
+      seenH.limit(50), 1024L, cbCfg).explain("formatted")
+
     println("==== source gate: tiny stats agg, AQE-broadcast gate join ====")
     graft.text.Sampling.sourceQualityGate(
       spark.read.parquet(s"$dir/documents.parquet")
