@@ -9,7 +9,7 @@ import graft.synth.{PageSynth, SynthConfig}
 import graft.frontier.{Crawler, CrawlRound}
 import graft.extract.{Classify, Dedup, FacilityExtract, Validation}
 import graft.functions.UrlPredicates
-import graft.sources.Sitemap
+import graft.sources.{Sitemap, Warc}
 import graft.text.{BigramLm, Chunker, Decontaminate, Dsir, InvertedIndex, LineDedup, Packing, Pii, PrepStack, Repetition, Sampling, SpanScrub, TextOps, TextPipeline, Tfidf, UnigramLm}
 import graft.dedup.{DupClusters, NearDup}
 import graft.ann.{SemDedup, SemanticDecontaminate, Similarity}
@@ -1026,6 +1026,54 @@ object SparkEntry {
           array_join(slice(array_sort(collect_set(col("anchor"))), 1, 20), "|")
             .as("anchors"))
         .orderBy("target")
+    }),
+
+    "q82_warc_scan" -> ((s, dir) => { // WARC archive segments round trip
+      // the Common Crawl container: the documents table serialized as
+      // real WARC/1.0 segments (per-record gzip members, warcinfo +
+      // full HTTP response blocks), re-read through the one-task-per-
+      // file binaryFile scan, HTTP-parsed, and reconciled row-by-row
+      // against the source — octet lengths and md5 digests must survive
+      // serialize→gzip→parse bit-exactly.
+      val out = new org.apache.hadoop.fs.Path(
+        System.getProperty("java.io.tmpdir"),
+        "graft-warc-" + dir.replaceAll("[^A-Za-z0-9.]", "_"))
+      out.getFileSystem(s.sparkContext.hadoopConfiguration).delete(out, true)
+      Warc.write(
+        T(s, dir, "documents").select(docUrl.as("url"),
+          lit("2026-02-01T00:00:00Z").as("date"), col("text").as("body")),
+        out.toString, nFiles = 8, gzip = true)
+      Warc.responses(Warc.read(s, out.toString))
+        .select(
+          regexp_extract(col("url"), "doc-([0-9]+)$", 1).cast("long").as("doc_id"),
+          col("http_status"), col("body_octets"),
+          md5(col("body_text").cast("binary")).as("body_md5"))
+        .orderBy("doc_id")
+    }),
+
+    "q83_warc_fetch" -> ((s, dir) => { // CDX ranged point-lookups
+      // random access into the archive: segments + CDX sidecar written
+      // once, then a sparse url subset fetched by (file, offset, length)
+      // ranged reads — each range a standalone gzip member, so 10^4
+      // lookups against a 10^10-record archive cost 10^4 ranged reads,
+      // not a segment scan.
+      val out = new org.apache.hadoop.fs.Path(
+        System.getProperty("java.io.tmpdir"),
+        "graft-warc-cdx-" + dir.replaceAll("[^A-Za-z0-9.]", "_"))
+      out.getFileSystem(s.sparkContext.hadoopConfiguration).delete(out, true)
+      Warc.writeWithCdx(
+        T(s, dir, "documents").select(docUrl.as("url"),
+          lit("2026-02-01T00:00:00Z").as("date"), col("text").as("body")),
+        out.toString, nFiles = 8, gzip = true)
+      val wanted = Warc.readCdx(s, out.toString).filter(
+        pmod(regexp_extract(col("url"), "doc-([0-9]+)$", 1).cast("long"),
+          lit(37)) === 5)
+      Warc.responses(Warc.fetchRanged(wanted))
+        .select(
+          regexp_extract(col("url"), "doc-([0-9]+)$", 1).cast("long").as("doc_id"),
+          col("http_status"), col("body_octets"),
+          md5(col("body_text").cast("binary")).as("body_md5"))
+        .orderBy("doc_id")
     })
   )
 
@@ -1403,6 +1451,22 @@ object SparkEntry {
     "q74_video_frames" -> fixtureOracle("q74_video_frames"),
     "q75_css_extract" -> fixtureOracle("q75_css_extract"),
     "q81_anchor_text" -> fixtureOracle("q81_anchor_text"),
+    // q82 oracle: the WARC serialize→gzip→parse round trip must return
+    // exactly the source rows — status injected by the writer, octet
+    // length and md5 of the UTF-8 body recomputed from documents.text
+    // (DuckDB strlen/md5 operate on the same UTF-8 bytes)
+    "q82_warc_scan" ->
+      """SELECT doc_id, 200 AS http_status,
+        | CAST(strlen(text) AS BIGINT) AS body_octets,
+        | md5(text) AS body_md5
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    // q83 oracle: the ranged CDX fetch of the doc_id%37==5 slice must
+    // return exactly those source rows (same digest reconciliation as q82)
+    "q83_warc_fetch" ->
+      """SELECT doc_id, 200 AS http_status,
+        | CAST(strlen(text) AS BIGINT) AS body_octets,
+        | md5(text) AS body_md5
+        |FROM documents WHERE doc_id % 37 = 5 ORDER BY doc_id""".stripMargin,
     // q76 oracle: the identical graph (id%10==7 dangling, else 3 edges to
     // (id*17 + j*31) mod N) through 5 UNROLLED power iterations — damping,
     // dangling-mass redistribution, and teleport all recomputed in SQL;

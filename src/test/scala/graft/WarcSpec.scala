@@ -1,0 +1,150 @@
+package graft
+
+import java.nio.charset.StandardCharsets.UTF_8
+
+import org.apache.spark.sql.functions._
+import graft.sources.Warc
+
+class WarcSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def tmpDir(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString
+
+  private def synthDocs(n: Int) =
+    spark.range(n.toLong).select(
+      concat(lit("https://w"), pmod(col("id"), lit(7)), lit(".example.com/p/"), col("id")).as("url"),
+      lit("2026-02-01T00:00:00Z").as("date"),
+      concat(lit("body of page "), col("id"), lit(" — unicode ok")).as("body"))
+
+  test("WARC round-trip: plain and per-record-gzip files both read back exactly") {
+    for (gzip <- Seq(false, true)) {
+      val dir = tmpDir(s"warc-rt-$gzip")
+      val docs = synthDocs(40)
+      Warc.write(docs, dir, nFiles = 3, gzip = gzip)
+      val rec = Warc.read(spark, dir).cache()
+
+      // one warcinfo per non-empty segment, leading each file
+      val nFiles = new java.io.File(dir).listFiles().count(_.getName.startsWith("part-"))
+      assert(rec.filter($"warc_type" === "warcinfo").count() == nFiles)
+      assert(nFiles >= 1 && nFiles <= 3)
+
+      // responses round-trip byte-exactly (url, status, content type, body)
+      val got = Warc.responses(rec)
+        .select("url", "http_status", "http_content_type", "body_text")
+        .as[(String, Int, String, String)].collect().toSet
+      val want = docs.as[(String, String, String)].collect()
+        .map { case (u, _, b) => (u, 200, "text/html", b) }.toSet
+      assert(got == want)
+      // HTTP framing: record content_length covers status line + headers + body
+      assert(Warc.responses(rec).filter($"body_octets" <= 0).isEmpty)
+      rec.unpersist()
+    }
+  }
+
+  test("gzip segments are member-per-record (Common Crawl layout, range-readable)") {
+    val dir = tmpDir("warc-members")
+    Warc.write(synthDocs(10), dir, nFiles = 1, gzip = true)
+    val f = new java.io.File(dir).listFiles().find(_.getName.endsWith(".warc.gz")).get
+    val bytes = java.nio.file.Files.readAllBytes(f.toPath)
+    // count gzip member headers: 1F 8B 08 magic at each member start
+    var members = 0
+    var i = 0
+    while (i < bytes.length - 2) {
+      if ((bytes(i) & 0xFF) == 0x1F && (bytes(i + 1) & 0xFF) == 0x8B && bytes(i + 2) == 8)
+        members += 1
+      i += 1
+    }
+    // exactly warcinfo + 10 responses; each record independently inflatable
+    assert(members == 11, s"expected 11 gzip members, scanned $members")
+    // a member in the middle inflates on its own given only its offset —
+    // the property a CDX index + ranged reads depend on
+    val offsets = (0 until bytes.length - 2).filter(i =>
+      (bytes(i) & 0xFF) == 0x1F && (bytes(i + 1) & 0xFF) == 0x8B && bytes(i + 2) == 8)
+    val mid = offsets(5)
+    val one = Warc.gunzipAll(new java.io.ByteArrayInputStream(
+      java.util.Arrays.copyOfRange(bytes, mid, bytes.length)))
+    assert(Warc.parseRecords(one).next().warc_type == "response")
+  }
+
+  test("parser resyncs after a corrupt record instead of dropping the file") {
+    val dir = tmpDir("warc-corrupt")
+    Warc.write(synthDocs(12), dir, nFiles = 1, gzip = false)
+    val f = new java.io.File(dir).listFiles().find(_.getName.endsWith(".warc")).get
+    val bytes = java.nio.file.Files.readAllBytes(f.toPath)
+    val total = Warc.parseRecords(bytes).count(_.warc_type == "response")
+    assert(total == 12)
+
+    // smash the 3rd record's header magic (find its WARC/1.0 and flip it)
+    val magic = "WARC/1.0".getBytes(UTF_8)
+    var hits = 0; var pos = -1; var i = 0
+    while (i < bytes.length && hits < 4) {
+      if (bytes.slice(i, i + magic.length).sameElements(magic)) { hits += 1; pos = i }
+      i += 1
+    }
+    val corrupted = bytes.clone()
+    corrupted(pos) = 'X'.toByte
+    val kept = Warc.parseRecords(corrupted).count(_.warc_type == "response")
+    assert(kept == 11, s"one corrupt record should cost exactly itself, kept=$kept")
+  }
+
+  test("content-length overrun (truncated file) keeps all complete records") {
+    val dir = tmpDir("warc-trunc")
+    Warc.write(synthDocs(8), dir, nFiles = 1, gzip = false)
+    val f = new java.io.File(dir).listFiles().find(_.getName.endsWith(".warc")).get
+    val bytes = java.nio.file.Files.readAllBytes(f.toPath)
+    val truncated = java.util.Arrays.copyOfRange(bytes, 0, bytes.length - 10)
+    val kept = Warc.parseRecords(truncated).count(_.warc_type == "response")
+    assert(kept == 7, s"only the cut-off final record may be lost, kept=$kept")
+  }
+
+  test("CDX ranged fetch returns exactly the named records without scanning segments") {
+    for (gzip <- Seq(false, true)) {
+      val dir = tmpDir(s"warc-cdx-$gzip")
+      val docs = synthDocs(50)
+      Warc.writeWithCdx(docs, dir, nFiles = 4, gzip = gzip)
+      val cdx = Warc.readCdx(spark, dir)
+      assert(cdx.count() == 50) // one row per response, none for warcinfo
+
+      // point-lookup a deterministic subset through the index
+      val wanted = cdx.filter($"url".rlike("/p/.*[05]$"))
+      val got = Warc.responses(Warc.fetchRanged(wanted))
+        .select("url", "http_status", "body_text")
+        .as[(String, Int, String)].collect().toSet
+      val want = docs.filter($"url".rlike("/p/.*[05]$"))
+        .as[(String, String, String)].collect()
+        .map { case (u, _, b) => (u, 200, b) }.toSet
+      assert(got == want && got.nonEmpty)
+
+      // each CDX range is self-contained: offsets+lengths tile the file
+      // (with gzip, each range is a standalone member — proven by the
+      // fetch itself, which inflates ONLY the sliced bytes)
+      val byFile = cdx.collect().groupBy(_.file)
+      byFile.values.foreach { es =>
+        val sorted = es.sortBy(_.offset)
+        sorted.sliding(2).foreach {
+          case Array(a, b) => assert(a.offset + a.length == b.offset)
+          case _ => ()
+        }
+        val f = new java.io.File(new java.net.URI(sorted.last.file).getPath)
+        assert(sorted.last.offset + sorted.last.length == f.length())
+      }
+    }
+  }
+
+  test("read schedules one task per segment and prunes content for path-only scans") {
+    val dir = tmpDir("warc-tasks")
+    Warc.write(synthDocs(30), dir, nFiles = 4, gzip = true)
+    val nFiles = new java.io.File(dir).listFiles().count(_.getName.startsWith("part-"))
+    val rec = Warc.read(spark, dir)
+    // file = unit of parallelism: at least one partition per file is NOT
+    // required (binaryFile may coalesce small files) but records from a
+    // given file stay in one partition — the warcinfo leads its segment.
+    val firstTypes = rec.select("warc_type").as[String]
+      .mapPartitions(it => Iterator.single(it.toSeq.headOption.getOrElse("")))
+      .collect().filter(_.nonEmpty)
+    assert(firstTypes.count(_ == "warcinfo") >= 1)
+    assert(Warc.responses(rec).count() == 30 &&
+      rec.filter($"warc_type" === "warcinfo").count() == nFiles)
+  }
+}
