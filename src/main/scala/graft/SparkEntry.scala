@@ -1074,6 +1074,32 @@ object SparkEntry {
           col("http_status"), col("body_octets"),
           md5(col("body_text").cast("binary")).as("body_md5"))
         .orderBy("doc_id")
+    }),
+
+    "q84_heavy_hitters" -> ((s, dir) => { // hot terms via SpaceSaving sketch
+      // per-language frequent-terms report through the mergeable
+      // SpaceSaving aggregate: map tasks fold their partitions into
+      // m-entry summaries and ONLY summaries cross the shuffle —
+      // O(partitions·m) wire rows instead of O(distinct terms). With
+      // m=512 ≥ this corpus's vocab the sketch runs in its exact regime
+      // (err=0, partitioning-invariant), so the SQL oracle is exact
+      // count equality; the approximate regime's bounds are
+      // property-tested in SpaceSavingSpec.
+      val d = T(s, dir, "documents")
+      // ASSERTED exact-regime assumption (same pattern as q46/q52): a
+      // corpus drift past m would flip est from exact to bounded —
+      // throw instead of silently changing the query's meaning
+      val vocab = d.select(explode(TextOps.words(col("text"))).as("w"))
+        .agg(countDistinct("w")).head().getLong(0)
+      require(vocab <= 512,
+        s"q84 m=512 assumes vocab ≤ capacity (exact regime); got $vocab distinct words")
+      d.select(col("lang"), explode(TextOps.words(col("text"))).as("term"))
+        .groupBy("lang")
+        .agg(gf.space_saving_agg(col("term"), lit(1L), 512).as("sk"))
+        .select(col("lang"), posexplode(slice(col("sk"), 1, 10)))
+        .select(col("lang"), (col("pos") + 1).cast("long").as("rank"),
+          col("col.item").as("term"), col("col.est").as("n"))
+        .orderBy("lang", "rank")
     })
   )
 
@@ -1467,6 +1493,17 @@ object SparkEntry {
         | CAST(strlen(text) AS BIGINT) AS body_octets,
         | md5(text) AS body_md5
         |FROM documents WHERE doc_id % 37 = 5 ORDER BY doc_id""".stripMargin,
+    // q84 oracle: the sketch runs in its exact regime (m ≥ vocab,
+    // asserted in the query), so exact per-lang counts with the same
+    // (n DESC, term) tie-break reproduce the report verbatim
+    "q84_heavy_hitters" ->
+      s"""WITH w AS (SELECT lang, $duckWords AS words FROM documents),
+         |e AS (SELECT lang, unnest(words) AS term FROM w),
+         |c AS (SELECT lang, term, count(*) AS n FROM e GROUP BY lang, term),
+         |r AS (SELECT lang, term, n, row_number() OVER (
+         |   PARTITION BY lang ORDER BY n DESC, term) AS rank FROM c)
+         |SELECT lang, CAST(rank AS BIGINT) AS rank, term, CAST(n AS BIGINT) AS n
+         |FROM r WHERE rank <= 10 ORDER BY lang, rank""".stripMargin,
     // q76 oracle: the identical graph (id%10==7 dangling, else 3 edges to
     // (id*17 + j*31) mod N) through 5 UNROLLED power iterations — damping,
     // dangling-mass redistribution, and teleport all recomputed in SQL;

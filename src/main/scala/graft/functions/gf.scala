@@ -59,6 +59,13 @@ object gf {
   def bloom_merge_agg(blooms: Column): Column =
     column(BloomMergeAgg(expression(blooms)).toAggregateExpression())
 
+  /** Mergeable SpaceSaving frequent-items sketch: array of
+    * (item, est, err, total) sorted by est desc — see
+    * [[graft.expr.SpaceSavingAgg]] for bounds and the 100 TB shape. */
+  def space_saving_agg(item: Column, weight: Column, capacity: Int): Column =
+    column(SpaceSavingAgg(expression(item), expression(weight),
+      expression(lit(capacity))).toAggregateExpression())
+
   /** Test a LONG against a serialized BloomFilter column. */
   def might_contain(bloom: Column, value: Column): Column =
     column(MightContainLong(expression(bloom), expression(value)))
