@@ -1100,6 +1100,25 @@ object SparkEntry {
         .select(col("lang"), (col("pos") + 1).cast("long").as("rank"),
           col("col.item").as("term"), col("col.est").as("n"))
         .orderBy("lang", "rank")
+    }),
+
+    "q85_trap_detect" -> ((s, dir) => { // crawl-trap template detection
+      // the many-urls-few-contents signal: sources with id%4==0 fan each
+      // doc out to 10 urls serving the SAME body (a calendar/session-id
+      // trap); normal sources serve 1 url per doc. detect() flags the
+      // trap templates in one hash agg — no joins, no windows — and the
+      // tiny flagged table is the frontier drop predicate
+      // (TrapDetect.filterTrapped).
+      val trap = (substring(col("source"), 4, 10).cast("int") % 4) === 0
+      val pages = T(s, dir, "documents")
+        .select(col("source"), col("doc_id"), col("text"),
+          explode(sequence(lit(0), when(trap, lit(9)).otherwise(lit(0)))).as("j"))
+        .select(concat(col("source"), lit(".example.com")).as("host"),
+          concat(lit("https://"), col("source"), lit(".example.com/item/"),
+            (col("doc_id") * 10 + col("j")).cast("string")).as("url"),
+          md5(col("text").cast("binary")).as("fingerprint"))
+      frontier.TrapDetect.detect(pages, minUrls = 50L, maxContentRatio = 0.3)
+        .orderBy("host", "template")
     })
   )
 
@@ -1504,6 +1523,29 @@ object SparkEntry {
          |   PARTITION BY lang ORDER BY n DESC, term) AS rank FROM c)
          |SELECT lang, CAST(rank AS BIGINT) AS rank, term, CAST(n AS BIGINT) AS n
          |FROM r WHERE rank <= 10 ORDER BY lang, rank""".stripMargin,
+    // q85 oracle: same synthetic fan-out (trap sources serve 10 urls per
+    // doc body), same digit-collapse template, same ROUNDED-ratio gate in
+    // both engines (the q54/q60 lesson); DuckDB regexp_replace needs the
+    // 'g' flag to match Spark's replace-all
+    "q85_trap_detect" ->
+      """WITH p AS (
+        | SELECT source || '.example.com' AS host,
+        |   'https://' || source || '.example.com/item/'
+        |     || CAST(doc_id*10 + t.j AS VARCHAR) AS url,
+        |   md5(text) AS fingerprint
+        | FROM documents, unnest(range(0,
+        |   CASE WHEN CAST(substring(source, 4) AS INT) % 4 = 0
+        |        THEN 10 ELSE 1 END)) AS t(j)),
+        |g AS (SELECT host, regexp_replace(url, '[0-9]+', '{n}', 'g') AS template,
+        |   count(DISTINCT url) AS n_urls,
+        |   count(DISTINCT fingerprint) AS n_contents
+        | FROM p GROUP BY 1, 2)
+        |SELECT host, template, CAST(n_urls AS BIGINT) AS n_urls,
+        | CAST(n_contents AS BIGINT) AS n_contents,
+        | round(CAST(n_contents AS DOUBLE) / n_urls, 6) AS content_ratio
+        |FROM g WHERE n_urls >= 50
+        | AND round(CAST(n_contents AS DOUBLE) / n_urls, 6) <= 0.3
+        |ORDER BY host, template""".stripMargin,
     // q76 oracle: the identical graph (id%10==7 dangling, else 3 edges to
     // (id*17 + j*31) mod N) through 5 UNROLLED power iterations — damping,
     // dangling-mass redistribution, and teleport all recomputed in SQL;
