@@ -9,6 +9,7 @@ import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.TaskContext
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{BinaryType, LongType, StringType, StructField, StructType, TimestampType}
 
 /**
  * WARC (Web ARChive, ISO 28500) source + sink — the container format of
@@ -319,6 +320,34 @@ object Warc {
     import spark.implicits._
     spark.read.format("binaryFile")
       .option("pathGlobFilter", "*.warc*")
+      .load(dir)
+      .select("content")
+      .as[Array[Byte]]
+      .flatMap { raw =>
+        val bytes =
+          if (raw.length >= 2 && (raw(0) & 0xFF) == 0x1F && (raw(1) & 0xFF) == 0x8B)
+            gunzipAll(new ByteArrayInputStream(raw))
+          else raw
+        parseRecords(bytes)
+      }
+      .toDF()
+  }
+
+  /**
+   * Streaming ingest: watch `dir` for new WARC segments and emit their
+   * parsed records incrementally — archive deltas land as files (the
+   * crawl's natural unit) and flow straight into the corpus/prep
+   * pipeline via Structured Streaming. Same parser, same
+   * one-task-per-new-file shape; the file-source offset log gives
+   * exactly-once per segment.
+   */
+  def readStreamRecords(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    spark.readStream.format("binaryFile")
+      .option("pathGlobFilter", "*.warc*")
+      .schema(StructType(Seq(
+        StructField("path", StringType), StructField("modificationTime", TimestampType),
+        StructField("length", LongType), StructField("content", BinaryType))))
       .load(dir)
       .select("content")
       .as[Array[Byte]]

@@ -132,6 +132,35 @@ class WarcSpec extends SparkTestBase {
     }
   }
 
+  test("streaming ingest: new segments flow incrementally, exactly once each") {
+    val dir = tmpDir("warc-stream")
+    val ckpt = tmpDir("warc-stream-ckpt")
+    Warc.write(synthDocs(20).filter($"url".rlike("[02468]$")), dir, nFiles = 2)
+    val q = Warc.responses(Warc.readStreamRecords(spark, dir))
+      .writeStream.format("memory").queryName("warc_stream")
+      .option("checkpointLocation", ckpt)
+      .start()
+    try {
+      q.processAllAvailable()
+      val first = spark.table("warc_stream").select("url").as[String].collect().toSet
+      assert(first == synthDocs(20).filter($"url".rlike("[02468]$"))
+        .select("url").as[String].collect().toSet)
+
+      // drop a new delta segment: only its records append
+      val staging = tmpDir("warc-delta")
+      Warc.write(synthDocs(20).filter($"url".rlike("[13579]$")), staging, nFiles = 1)
+      // move into the watched root with a distinct name (file source keys on path)
+      val f = new java.io.File(staging).listFiles()
+        .find(_.getName.endsWith(".warc.gz")).get
+      java.nio.file.Files.move(f.toPath, java.nio.file.Paths.get(s"$dir/delta-00001.warc.gz"))
+      q.processAllAvailable()
+      val all = spark.table("warc_stream").select("url").as[String].collect()
+      assert(all.length == 20 && all.toSet ==
+        synthDocs(20).select("url").as[String].collect().toSet,
+        "delta records appended exactly once, earlier segments not re-emitted")
+    } finally q.stop()
+  }
+
   test("read schedules one task per segment and prunes content for path-only scans") {
     val dir = tmpDir("warc-tasks")
     Warc.write(synthDocs(30), dir, nFiles = 4, gzip = true)
