@@ -10,7 +10,7 @@ import graft.frontier.{Crawler, CrawlRound}
 import graft.extract.{Classify, Dedup, FacilityExtract, Validation}
 import graft.functions.UrlPredicates
 import graft.sources.{Sitemap, Warc}
-import graft.text.{BigramLm, Chunker, Decontaminate, Dsir, InvertedIndex, LineDedup, Packing, Pii, PrepStack, Repetition, Sampling, SpanScrub, TextOps, TextPipeline, Tfidf, UnigramLm}
+import graft.text.{BigramLm, Bpe, Chunker, Decontaminate, Dsir, InvertedIndex, LineDedup, Packing, Pii, PrepStack, Repetition, Sampling, SpanScrub, TextOps, TextPipeline, Tfidf, UnigramLm}
 import graft.dedup.{DupClusters, NearDup}
 import graft.ann.{SemDedup, SemanticDecontaminate, Similarity}
 import graft.multimodal.MediaOps
@@ -1119,6 +1119,28 @@ object SparkEntry {
           md5(col("text").cast("binary")).as("fingerprint"))
       frontier.TrapDetect.detect(pages, minUrls = 50L, maxContentRatio = 0.3)
         .orderBy("host", "template")
+    }),
+
+    "q86_bpe_merges" -> ((s, dir) => { // learned BPE merge table
+      // real subword-tokenizer training (Sennrich et al. 2016) on the
+      // word-count table, never the corpus: 8 iterations of pair-count →
+      // 1-row argmax → fixed-pass replace (see Bpe's merge-application
+      // convention). The oracle unrolls the SAME 8 iterations in SQL —
+      // identical leftmost-replace semantics in both engines.
+      import s.implicits._
+      val (merges, _) = Bpe.train(T(s, dir, "documents"), "text", numMerges = 8)
+      merges.zipWithIndex
+        .map { case ((l, r), i) => (i + 1L, l, r) }
+        .toDF("rank", "mleft", "mright").orderBy("rank")
+    }),
+
+    "q87_bpe_tokens" -> ((s, dir) => { // token counts under the trained BPE
+      // the corpus pays ONE scan + one equi-join on the trained word
+      // table — per-word token counts come from the learned sym strings,
+      // not a fixed heuristic.
+      val d = T(s, dir, "documents")
+      val (_, trained) = Bpe.train(d, "text", numMerges = 8)
+      Bpe.tokenCounts(d, "doc_id", "text", trained).orderBy("doc_id")
     })
   )
 
@@ -1476,6 +1498,56 @@ object SparkEntry {
        |ORDER BY doc_id""".stripMargin
   }
 
+  /** Shared q86/q87 oracle prefix: word counts, char-split init, and
+    * `k` UNROLLED BPE merge iterations. Each iteration recomputes the
+    * weighted adjacent-pair argmax (cnt DESC, l, r tie-break — identical
+    * to the Spark orderBy) and applies the merge with the same
+    * fixed-`passes` leftmost-replace chain Bpe.train uses, so the symbol
+    * strings evolve byte-identically in both engines. */
+  private def bpeCte(k: Int, passes: Int = 6): String = {
+    val iters = (1 to k).map { i =>
+      val rep = (1 to passes).foldLeft("sym") { (e, _) =>
+        s"replace($e, ' '||(SELECT l FROM b$i)||' '||(SELECT r FROM b$i)||' ', " +
+          s"' '||(SELECT l FROM b$i)||(SELECT r FROM b$i)||' ')"
+      }
+      // MATERIALIZED: DuckDB inlines plain CTEs, and the w-chain
+      // references each level ~18× (6 replace passes × 3 scalar
+      // subqueries) — un-materialized this expands 18^k plans
+      s"""p$i AS MATERIALIZED (SELECT s.arr[t.i] AS l, s.arr[t.i+1] AS r, sum(s.n) AS cnt
+         |  FROM (SELECT n, string_split(trim(sym), ' ') AS arr FROM w${i - 1}) s,
+         |       unnest(range(1, len(s.arr))) AS t(i)
+         |  GROUP BY 1, 2),
+         |b$i AS MATERIALIZED (SELECT l, r FROM p$i ORDER BY cnt DESC, l, r LIMIT 1),
+         |w$i AS MATERIALIZED (SELECT word, n, $rep AS sym FROM w${i - 1})""".stripMargin
+    }.mkString(",\n")
+    s"""WITH wq AS (SELECT unnest($duckWords) AS word FROM documents),
+       |wc AS MATERIALIZED (SELECT word, count(*) AS n FROM wq GROUP BY word),
+       |w0 AS MATERIALIZED (SELECT word, n,
+       |    ' ' || array_to_string(regexp_split_to_array(word, ''), ' ')
+       |      || ' </w> ' AS sym
+       |  FROM wc),
+       |$iters""".stripMargin
+  }
+
+  private def q86OracleSql: String = {
+    val rows = (1 to 8).map(i =>
+      s"SELECT CAST($i AS BIGINT) AS rank, l AS mleft, r AS mright FROM b$i")
+      .mkString("\n UNION ALL ")
+    // NOTE: concatenation, not interpolation-into-stripMargin — bpeCte is
+    // already margin-stripped and re-stripping would eat `||` operators
+    bpeCte(8) + "\n" + s"SELECT * FROM (${rows}) ORDER BY rank"
+  }
+
+  private def q87OracleSql: String =
+    bpeCte(8) + ",\n" +
+      s"""d AS (SELECT doc_id, $duckWords AS ws FROM documents),
+         |e AS (SELECT doc_id, unnest(ws) AS word FROM d),
+         |t AS (SELECT word,
+         |   CAST(len(string_split(trim(sym), ' ')) AS BIGINT) AS toks FROM w8)
+         |SELECT e.doc_id, CAST(sum(t.toks) AS BIGINT) AS n_tokens,
+         |  CAST(count(*) AS BIGINT) AS n_words
+         |FROM e JOIN t USING (word) GROUP BY e.doc_id ORDER BY doc_id""".stripMargin
+
   /** Golden-fixture oracle (see [[GenDriverFixtures]]): the query has no
     * sf-table input (deterministic synthetic corpus + custom expressions
     * DuckDB cannot evaluate), so its once-pinned result parquet IS the
@@ -1546,6 +1618,10 @@ object SparkEntry {
         |FROM g WHERE n_urls >= 50
         | AND round(CAST(n_contents AS DOUBLE) / n_urls, 6) <= 0.3
         |ORDER BY host, template""".stripMargin,
+    // q86/q87 oracles: 8 BPE merge iterations unrolled in SQL with the
+    // identical argmax tie-break and leftmost-replace merge application
+    "q86_bpe_merges" -> q86OracleSql,
+    "q87_bpe_tokens" -> q87OracleSql,
     // q76 oracle: the identical graph (id%10==7 dangling, else 3 edges to
     // (id*17 + j*31) mod N) through 5 UNROLLED power iterations — damping,
     // dangling-mass redistribution, and teleport all recomputed in SQL;
