@@ -128,6 +128,32 @@ object PlanAudit {
           graft.text.TextOps.qualityScore($"text").as("q")),
       "source", round(avg($"q"), 4), 0.76).explain("formatted")
 
+    println("==== heavy hitters: ObjectHashAggregate with PARTIAL space_saving_agg (summaries cross the wire, not keys) ====")
+    spark.read.parquet(s"$dir/documents.parquet")
+      .select($"lang", explode(graft.text.TextOps.words($"text")).as("term"))
+      .groupBy("lang").agg(gf.space_saving_agg($"term", lit(1L), 512).as("sk"))
+      .explain("formatted")
+
+    println("==== blocklist keep: suffix explode -> unhinted semi + anti (AQE picks broadcast) ====")
+    graft.frontier.Blocklist.keep(
+      pages.select($"url"),
+      "url",
+      Seq("h1.example.com", "h3.example.com").toDF("domain")).explain("formatted")
+
+    println("==== trap detect: one agg (2x Expand multi-distinct), no joins/windows ====")
+    graft.frontier.TrapDetect.detect(
+      pages.select($"url", lit("h").as("host"), $"urlHash".as("fingerprint")),
+      minUrls = 10, maxContentRatio = 0.5).explain("formatted")
+
+    println("==== warc ranged fetch: cdx repartition by file + in-order ranged reads (no segment scan) ====")
+    val wdir = java.nio.file.Files.createTempDirectory("plan-warc").toString
+    graft.sources.Warc.writeWithCdx(
+      spark.range(50).select(concat(lit("https://x/p"), $"id").as("url"),
+        lit("2026-01-01T00:00:00Z").as("date"), lit("b").as("body")),
+      wdir, nFiles = 2)
+    graft.sources.Warc.fetchRanged(
+      graft.sources.Warc.readCdx(spark, wdir).limit(10)).explain("formatted")
+
     spark.stop()
   }
 }

@@ -1141,6 +1141,44 @@ object SparkEntry {
       val d = T(s, dir, "documents")
       val (_, trained) = Bpe.train(d, "text", numMerges = 8)
       Bpe.tokenCounts(d, "doc_id", "text", trained).orderBy("doc_id")
+    }),
+
+    "q88_blocklist" -> ((s, dir) => { // domain-suffix blocklist filter
+      // the UT1-style URL filter: blocklist entries must block every
+      // subdomain, so matching is a suffix-explode equi-join against a
+      // DATA-sized domain list (unhinted — AQE broadcasts when it
+      // fits), never a compiled predicate. Candidates get www/cdn
+      // subdomains so plain host equality would keep rows the suffix
+      // match correctly drops.
+      val d = T(s, dir, "documents")
+      val candidates = d.select(col("doc_id"),
+        concat(lit("https://"),
+          when(pmod(col("doc_id"), lit(2)) === 0, lit("www.")).otherwise(lit("cdn.")),
+          col("source"), lit(".example.com/"), col("lang"), lit("/doc-"),
+          col("doc_id")).as("url"))
+      val blocklist = d
+        .filter((substring(col("source"), 4, 10).cast("int") % 5) === 3)
+        .select(concat(col("source"), lit(".example.com")).as("domain"))
+        .distinct()
+      frontier.Blocklist.keep(candidates, "url", blocklist)
+        .select("doc_id").orderBy("doc_id")
+    }),
+
+    "q89_main_content" -> ((s, dir) => { // boilerplate removal by density
+      // main_content vs extract_text over the synthetic corpus: the
+      // density classifier strips nav chrome / footer / link farms and
+      // keeps the card/article text — the column a prep pipeline should
+      // actually train on (fixture-oracled: DuckDB cannot parse HTML).
+      val cfg = SynthConfig(nPages = 400L, nHosts = 5)
+      PageSynth.pages(s, cfg).toDF()
+        .select(col("url"),
+          gf.main_content(col("html"), minWords = 3).as("c"),
+          gf.extract_text(col("html")).as("t"))
+        .select(col("url"),
+          md5(col("c").cast("binary")).as("content_md5"),
+          length(col("c")).cast("long").as("content_chars"),
+          length(col("t")).cast("long").as("all_chars"))
+        .orderBy("url")
     })
   )
 
@@ -1568,6 +1606,7 @@ object SparkEntry {
     "q74_video_frames" -> fixtureOracle("q74_video_frames"),
     "q75_css_extract" -> fixtureOracle("q75_css_extract"),
     "q81_anchor_text" -> fixtureOracle("q81_anchor_text"),
+    "q89_main_content" -> fixtureOracle("q89_main_content"),
     // q82 oracle: the WARC serialize→gzip→parse round trip must return
     // exactly the source rows — status injected by the writer, octet
     // length and md5 of the UTF-8 body recomputed from documents.text
@@ -1622,6 +1661,19 @@ object SparkEntry {
     // identical argmax tie-break and leftmost-replace merge application
     "q86_bpe_merges" -> q86OracleSql,
     "q87_bpe_tokens" -> q87OracleSql,
+    // q88 oracle: an INDEPENDENT formulation of suffix matching — the
+    // NOT EXISTS probe with equality-or-dot-suffix LIKE must agree with
+    // the engine's explode-and-join
+    "q88_blocklist" ->
+      """WITH c AS (SELECT doc_id,
+        |  (CASE WHEN doc_id % 2 = 0 THEN 'www.' ELSE 'cdn.' END)
+        |    || source || '.example.com' AS host FROM documents),
+        |bl AS (SELECT source || '.example.com' AS domain FROM documents
+        |  WHERE CAST(substring(source, 4) AS INT) % 5 = 3 GROUP BY 1)
+        |SELECT doc_id FROM c
+        |WHERE NOT EXISTS (SELECT 1 FROM bl
+        |  WHERE c.host = bl.domain OR c.host LIKE '%.' || bl.domain)
+        |ORDER BY doc_id""".stripMargin,
     // q76 oracle: the identical graph (id%10==7 dangling, else 3 edges to
     // (id*17 + j*31) mod N) through 5 UNROLLED power iterations — damping,
     // dangling-mass redistribution, and teleport all recomputed in SQL;

@@ -35,7 +35,7 @@ object HtmlDom {
     /** 0-based position among the parent's element children. */
     var idx: Int = 0
     val children: ArrayBuffer[Elem] = new ArrayBuffer[Elem](4)
-    private[HtmlDom] val textParts: ArrayBuffer[String] = new ArrayBuffer[String](4)
+    private[core] val textParts: ArrayBuffer[String] = new ArrayBuffer[String](4)
 
     def attr(name: String): Option[String] = attrs.get(name)
     lazy val classes: Set[String] =

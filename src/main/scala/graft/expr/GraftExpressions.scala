@@ -143,6 +143,35 @@ case class RepetitionMetrics(child: Expression, topN: Int, dupN: Int)
     copy(child = c)
 }
 
+/** Main-content extraction by block text/link density (Kohlschütter et
+  * al. WSDM 2010 shallow features over the HtmlDom — see
+  * [[graft.core.MainContent]] for the deterministic rule set). One
+  * codegen'd pass per page; accepts BINARY (page-store html) or STRING. */
+case class MainContentExtract(child: Expression, minWords: Int, maxLinkDensity: Double)
+    extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == BinaryType || child.dataType.isInstanceOf[StringType])
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"main_content expects STRING or BINARY, got ${child.dataType.sql}")
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "main_content"
+  private def isBinary: Boolean = child.dataType == BinaryType
+  override protected def nullSafeEval(v: Any): Any =
+    if (isBinary)
+      graft.core.MainContent.extractBytes(v.asInstanceOf[Array[Byte]], minWords, maxLinkDensity)
+    else
+      graft.core.MainContent.extractU8(v.asInstanceOf[UTF8String], minWords, maxLinkDensity)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val fn = if (isBinary) "extractBytes" else "extractU8"
+    defineCodeGen(ctx, ev,
+      c => s"graft.core.MainContent.$fn($c, $minWords, ${maxLinkDensity}D)")
+  }
+  override protected def withNewChildInternal(c: Expression): MainContentExtract =
+    copy(child = c)
+}
+
 private[expr] object GraftExprChecks {
   import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
   def requireString(name: String, es: Expression*): TypeCheckResult = {

@@ -25,6 +25,11 @@ object gf {
     * page-level extraction layers — see [[graft.expr.HtmlFacilityProbe]]). */
   def html_probe(html: Column): Column = column(HtmlFacilityProbe(expression(html)))
 
+  /** Boilerplate removal: main content only, by block text/link density
+    * (see [[graft.expr.MainContentExtract]]). */
+  def main_content(html: Column, minWords: Int = 10, maxLinkDensity: Double = 0.33): Column =
+    column(MainContentExtract(expression(html), minWords, maxLinkDensity))
+
   /** Multi-column link Generator: a row per `<a href>` anchor —
     * (href, anchor_text, rel) in one html pass (SURVEY.md C26 + the
     * anchor-text half of F3). Use in select() like explode(). */
