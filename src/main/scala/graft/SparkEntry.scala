@@ -10,7 +10,7 @@ import graft.frontier.{Crawler, CrawlRound}
 import graft.extract.{Classify, Dedup, FacilityExtract, Validation}
 import graft.functions.UrlPredicates
 import graft.sources.{Sitemap, Warc}
-import graft.text.{BigramLm, Bpe, Chunker, Decontaminate, Dsir, InvertedIndex, LineDedup, Packing, Pii, PrepStack, Repetition, Sampling, SpanScrub, TextOps, TextPipeline, Tfidf, UnigramLm}
+import graft.text.{BigramLm, Bpe, Chunker, Decontaminate, Dsir, InvertedIndex, LineDedup, Packing, Pii, PrepStack, QualityLr, Repetition, Sampling, SpanScrub, TextOps, TextPipeline, Tfidf, UnigramLm}
 import graft.dedup.{DupClusters, NearDup}
 import graft.ann.{SemDedup, SemanticDecontaminate, Similarity}
 import graft.multimodal.MediaOps
@@ -1179,6 +1179,19 @@ object SparkEntry {
           length(col("c")).cast("long").as("content_chars"),
           length(col("t")).cast("long").as("all_chars"))
         .orderBy("url")
+    }),
+
+    "q90_logreg_quality" -> ((s, dir) => { // learned quality classifier
+      // distributed full-batch logistic regression over md5-hashed tf
+      // features: each GD round is ONE map-side-combined aggregation
+      // (O(partitions·dim) wire rows) + a (dim+1)-double collect — the
+      // PageRank/IVF bounded-driver-action pattern. Labels are a planted
+      // linearly-learnable rule; the oracle unrolls the same 5 rounds in
+      // SQL from the same feature definition. η=1.0 so the update is
+      // exactly w − avg((σ−y)x) in both engines.
+      val feats = QualityLr.features(T(s, dir, "documents"), "doc_id", "text",
+        dim = 8)
+      QualityLr.trainReport(feats, dim = 8, iters = 5, eta = 1.0).orderBy("dim")
     })
   )
 
@@ -1567,6 +1580,46 @@ object SparkEntry {
        |$iters""".stripMargin
   }
 
+  /** q90 oracle: the identical hashed features (Dsir.bucket's md5 hash),
+    * planted label rule, and 5 UNROLLED gradient-descent rounds — dot
+    * products in the same index order, η=1.0 so the update is exactly
+    * `w − avg((σ−y)·x)`; weights rounded to 6 dp (double sum-order ulps
+    * across 5 rounds sit ~1e-12, six orders below the grain). */
+  private def q90OracleSql: String = {
+    val dim = 8
+    val xs = (0 to dim).map(d => s"x$d")
+    val cntCols = (0 until dim).map(d =>
+      s"sum(CASE WHEN b = $d THEN 1 ELSE 0 END)::DOUBLE / count(*) AS x$d")
+      .mkString(",\n   ")
+    val iters = (1 to 5).map { i =>
+      val dot = xs.zipWithIndex.map { case (x, d) => s"w.w$d*f.$x" }.mkString(" + ")
+      val upd = xs.zipWithIndex.map { case (x, d) =>
+        s"(SELECT w$d FROM w${i - 1}) - avg((p - y)*$x) AS w$d"
+      }.mkString(",\n   ")
+      s"""p$i AS MATERIALIZED (SELECT f.y, ${xs.map(x => s"f.$x").mkString(", ")},
+         |   1.0/(1.0 + exp(-($dot))) AS p FROM f, w${i - 1} w),
+         |w$i AS MATERIALIZED (SELECT
+         |   $upd
+         | FROM p$i)""".stripMargin
+    }.mkString(",\n")
+    val out = (0 to dim).map(d =>
+      s"SELECT CAST($d AS BIGINT) AS dim, round((SELECT w$d FROM w5), 6) AS weight")
+      .mkString("\n UNION ALL ")
+    s"""WITH ws AS (SELECT doc_id, unnest($duckWords) AS w FROM documents),
+       |bk AS (SELECT doc_id, w,
+       |   CAST('0x' || substring(md5(w), 1, 8) AS BIGINT) % $dim AS b FROM ws),
+       |f AS MATERIALIZED (SELECT doc_id,
+       |   $cntCols,
+       |   1.0 AS x$dim,
+       |   CASE WHEN sum(CASE WHEN w = 'fast' THEN 1 ELSE 0 END)
+       |      > sum(CASE WHEN w = 'slow' THEN 1 ELSE 0 END)
+       |     THEN 1.0 ELSE 0.0 END AS y
+       | FROM bk GROUP BY doc_id),
+       |w0 AS (SELECT ${(0 to dim).map(d => s"0.0 AS w$d").mkString(", ")}),
+       |""".stripMargin + iters + "\n" +
+      s"SELECT * FROM (${out}) ORDER BY dim"
+  }
+
   private def q86OracleSql: String = {
     val rows = (1 to 8).map(i =>
       s"SELECT CAST($i AS BIGINT) AS rank, l AS mleft, r AS mright FROM b$i")
@@ -1661,6 +1714,7 @@ object SparkEntry {
     // identical argmax tie-break and leftmost-replace merge application
     "q86_bpe_merges" -> q86OracleSql,
     "q87_bpe_tokens" -> q87OracleSql,
+    "q90_logreg_quality" -> q90OracleSql,
     // q88 oracle: an INDEPENDENT formulation of suffix matching — the
     // NOT EXISTS probe with equality-or-dot-suffix LIKE must agree with
     // the engine's explode-and-join
