@@ -1192,6 +1192,43 @@ object SparkEntry {
       val feats = QualityLr.features(T(s, dir, "documents"), "doc_id", "text",
         dim = 8)
       QualityLr.trainReport(feats, dim = 8, iters = 5, eta = 1.0).orderBy("dim")
+    }),
+
+    "q91_sitemap_recursion" -> ((s, dir) => { // nested sitemap-index resolve
+      // two-level sitemaps.org tree synthesized from documents (per host
+      // h=doc_id%10: one <sitemapindex> root listing two <urlset>
+      // children split by (doc_id/10)%2); resolveIndexes recurses via
+      // store equi-joins (never a driver loop over files) and the
+      // per-host loc counts must match the independent GROUP BY
+      // derivation that never sees any XML.
+      val d = T(s, dir, "documents").select(col("doc_id"),
+        concat(lit("h"), pmod(col("doc_id"), lit(10)).cast("string")).as("host"),
+        pmod(floor(col("doc_id") / 10), lit(2)).cast("string").as("part"))
+      val urlsets = d.groupBy("host", "part").agg(
+          concat(lit("<urlset>"),
+            array_join(array_sort(collect_list(concat(
+              lit("<url><loc>https://"), col("host"),
+              lit(".example.com/doc-"), col("doc_id").cast("string"),
+              lit("</loc></url>")))), ""),
+            lit("</urlset>")).as("xml"))
+        .select(col("host"),
+          concat(lit("https://"), col("host"), lit(".example.com/sitemap-"),
+            col("part"), lit(".xml")).as("url"),
+          col("xml"))
+      val index = urlsets.groupBy("host").agg(
+          concat(lit("<sitemapindex>"),
+            array_join(array_sort(collect_list(concat(
+              lit("<sitemap><loc>"), col("url"), lit("</loc></sitemap>")))), ""),
+            lit("</sitemapindex>")).as("xml"))
+        .select(col("host"),
+          concat(lit("https://"), col("host"),
+            lit(".example.com/sitemap.xml")).as("url"),
+          col("xml"))
+      Sitemap.resolveIndexes(index, urlsets.select("url", "xml"), maxDepth = 2)
+        .groupBy("host")
+        .agg(count(lit(1)).as("n_locs"),
+          count_distinct(col("loc")).as("n_distinct"))
+        .orderBy("host")
     })
   )
 
@@ -1715,6 +1752,13 @@ object SparkEntry {
     "q86_bpe_merges" -> q86OracleSql,
     "q87_bpe_tokens" -> q87OracleSql,
     "q90_logreg_quality" -> q90OracleSql,
+    // q91 oracle: the per-host page counts derived WITHOUT XML — the
+    // recursion must deliver exactly one loc per (host, doc)
+    "q91_sitemap_recursion" ->
+      """SELECT 'h' || (doc_id % 10) AS host,
+        | CAST(count(*) AS BIGINT) AS n_locs,
+        | CAST(count(DISTINCT doc_id) AS BIGINT) AS n_distinct
+        |FROM documents GROUP BY 1 ORDER BY host""".stripMargin,
     // q88 oracle: an INDEPENDENT formulation of suffix matching — the
     // NOT EXISTS probe with equality-or-dot-suffix LIKE must agree with
     // the engine's explode-and-join

@@ -29,6 +29,46 @@ object Sitemap {
       .when(lower(loc).rlike("/(locations?|facilities|communities|directory)/?$"), "listing")
       .otherwise("other")
 
+  /**
+   * Recursive sitemap-index resolution (the sitemaps.org two-level
+   * protocol; real sites nest deeper): starting from entry sitemaps,
+   * `<sitemapindex>` blobs explode into child sitemap urls which JOIN
+   * BACK against the fetched-sitemap store — the same fetch-join shape
+   * as the page store, so each level is one equi-join, never a driver
+   * loop over sitemap files. Non-index blobs contribute their `<loc>`s
+   * as page urls. Cycles/dups are cut by removing already-visited
+   * sitemap urls each level; depth is capped.
+   *
+   * @param entry  rows (host, url, xml) — the robots-discovered entry points
+   * @param store  rows (url, xml) — every fetched sitemap blob
+   * @return       rows (host, loc) — page urls only
+   */
+  def resolveIndexes(entry: DataFrame, store: DataFrame, maxDepth: Int = 3): DataFrame = {
+    var frontier = entry.select(col("host"), col("url"), col("xml"))
+    var seen = entry.select(col("url"))
+    var pages: DataFrame = null
+    var depth = 0
+    while (depth < maxDepth) {
+      val locs = frontier
+        .withColumn("__isIdx", isSitemapIndex(col("xml")))
+        .select(col("host"), col("__isIdx"),
+          explode(regexp_extract_all(col("xml"),
+            lit("<loc>\\s*([^<\\s]+)\\s*</loc>"), lit(1))).as("loc"))
+        .localCheckpoint(false) // feeds both branches + next level
+      val pageLocs = locs.filter(!col("__isIdx")).select("host", "loc")
+      pages = if (pages == null) pageLocs else pages.union(pageLocs)
+      val children = locs.filter(col("__isIdx"))
+        .select(col("host"), col("loc").as("url"))
+        .join(seen, Seq("url"), "left_anti") // cycle/dup cut
+        .distinct()
+      frontier = children.join(store, Seq("url"))
+        .select(col("host"), col("url"), col("xml"))
+      seen = seen.union(children.select("url"))
+      depth += 1
+    }
+    pages
+  }
+
   /** robots.txt text → (host, disallow array, crawl_delay, sitemaps array).
     * Input rows: (host, robots_txt). Only the directives the crawl uses. */
   def parseRobots(robots: DataFrame, txtCol: String = "robots_txt"): DataFrame = {
