@@ -1229,7 +1229,15 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_locs"),
           count_distinct(col("loc")).as("n_distinct"))
         .orderBy("host")
-    })
+    }),
+
+    "q92_source_overlap" -> ((s, dir) => // cross-source 3-gram Jaccard matrix
+      // the mixture-design diagnostic: how much of each source pair's
+      // distinct n-gram mass is shared — matrix is #sources² (sources
+      // are dumps, not docs), pair join is a gram-key equi-join
+      TextOps.sourceOverlapMatrix(
+          T(s, dir, "documents").select("source", "text"), "source", "text", n = 3)
+        .orderBy("src_a", "src_b"))
   )
 
   /** DuckDB word list — identical to [[TextOps.words]]. */
@@ -1759,6 +1767,20 @@ object SparkEntry {
         | CAST(count(*) AS BIGINT) AS n_locs,
         | CAST(count(DISTINCT doc_id) AS BIGINT) AS n_distinct
         |FROM documents GROUP BY 1 ORDER BY host""".stripMargin,
+    // q92 oracle: same distinct 3-gram sets (words[i:i+2] inclusive
+    // slice ≡ wordNgrams' <n-word empty guard via the empty range)
+    "q92_source_overlap" ->
+      s"""WITH w AS (SELECT source, $duckWords AS words FROM documents),
+         |g AS (SELECT DISTINCT source, array_to_string(words[i:i+2], ' ') AS g
+         |  FROM w, unnest(range(1, len(words) - 1)) AS t(i)),
+         |c AS (SELECT source, count(*) AS n FROM g GROUP BY source),
+         |sh AS (SELECT a.source AS sa, b.source AS sb, count(*) AS shared
+         |  FROM g a JOIN g b ON a.g = b.g AND a.source < b.source
+         |  GROUP BY 1, 2)
+         |SELECT sa AS src_a, sb AS src_b, CAST(shared AS BIGINT) AS shared,
+         |  round(CAST(shared AS DOUBLE) / (ca.n + cb.n - shared), 6) AS jaccard
+         |FROM sh JOIN c ca ON ca.source = sh.sa JOIN c cb ON cb.source = sh.sb
+         |ORDER BY src_a, src_b""".stripMargin,
     // q88 oracle: an INDEPENDENT formulation of suffix matching — the
     // NOT EXISTS probe with equality-or-dot-suffix LIKE must agree with
     // the engine's explode-and-join

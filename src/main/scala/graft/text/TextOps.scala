@@ -118,4 +118,36 @@ object TextOps {
     * text) for compact join keys at scale. */
   def fingerprint64(text: Column): Column =
     xxhash64(regexp_replace(lower(trim(text)), "\\s+", " "))
+
+  /**
+   * Cross-source n-gram overlap matrix: Jaccard over each source's
+   * DISTINCT n-gram set, one row per unordered source pair — the
+   * mixture-design diagnostic ("how much of source B is already in A")
+   * behind dedup-across-dumps and mixture-weight decisions.
+   *
+   * 100 TB shape: the matrix is #sources² and sources are corpus DUMPS
+   * (tens to hundreds), never documents — the per-source distinct-gram
+   * table is the only big intermediate, the pair join is a gram-key
+   * equi-join (self-join on gram, source < source), and the result is
+   * tiny. Grams present in only one source never join to anything.
+   */
+  def sourceOverlapMatrix(docs: org.apache.spark.sql.DataFrame, srcCol: String,
+      textCol: String, n: Int): org.apache.spark.sql.DataFrame = {
+    val sg = docs.select(col(srcCol).as("src"),
+        explode(wordNgrams(words(col(textCol)), n)).as("g"))
+      .distinct()
+      .localCheckpoint(false) // feeds per-source counts AND the pair join
+    val counts = sg.groupBy("src").agg(count(lit(1)).as("__n"))
+    val shared = sg.as("a")
+      .join(sg.as("b"),
+        col("a.g") === col("b.g") && col("a.src") < col("b.src"))
+      .groupBy(col("a.src").as("src_a"), col("b.src").as("src_b"))
+      .agg(count(lit(1)).as("shared"))
+    shared
+      .join(counts.select(col("src").as("src_a"), col("__n").as("__na")), Seq("src_a"))
+      .join(counts.select(col("src").as("src_b"), col("__n").as("__nb")), Seq("src_b"))
+      .select(col("src_a"), col("src_b"), col("shared"),
+        round(col("shared").cast("double") /
+          (col("__na") + col("__nb") - col("shared")), 6).as("jaccard"))
+  }
 }
