@@ -1237,7 +1237,24 @@ object SparkEntry {
       // are dumps, not docs), pair join is a gram-key equi-join
       TextOps.sourceOverlapMatrix(
           T(s, dir, "documents").select("source", "text"), "source", "text", n = 3)
-        .orderBy("src_a", "src_b"))
+        .orderBy("src_a", "src_b")),
+
+    "q93_compression_quality" -> ((s, dir) => { // zlib-ratio quality signal
+      // the Gopher-stack redundancy detector as one codegen'd pass:
+      // deflate_ratio per doc + the corpus view that makes it a GATE —
+      // per-source mean ratio and the flag for sources whose ratio says
+      // "templated boilerplate" (fixture-oracled: no SQL zlib; the
+      // determinism of fixed-level Deflater is what's being pinned).
+      T(s, dir, "documents")
+        .select(col("source"), gf.deflate_ratio(col("text")).as("r"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          round(avg(col("r")), 6).as("mean_ratio"),
+          round(min(col("r")), 6).as("min_ratio"),
+          round(max(col("r")), 6).as("max_ratio"))
+        .withColumn("boilerplate_suspect", col("mean_ratio") < 0.3)
+        .orderBy("source")
+    })
   )
 
   /** DuckDB word list — identical to [[TextOps.words]]. */
@@ -1705,6 +1722,9 @@ object SparkEntry {
     "q75_css_extract" -> fixtureOracle("q75_css_extract"),
     "q81_anchor_text" -> fixtureOracle("q81_anchor_text"),
     "q89_main_content" -> fixtureOracle("q89_main_content"),
+    // q93 fixture is pinned at sf0.01 (the gate's scale) like q40/q47 —
+    // it reads the sf documents table and zlib is not SQL-expressible
+    "q93_compression_quality" -> fixtureOracle("q93_compression_quality"),
     // q82 oracle: the WARC serialize→gzip→parse round trip must return
     // exactly the source rows — status injected by the writer, octet
     // length and md5 of the UTF-8 body recomputed from documents.text

@@ -150,4 +150,21 @@ object TextExtractor {
     UTF8String.fromString(extractText(html.toString))
   def extractTextBytes(html: Array[Byte]): UTF8String =
     UTF8String.fromString(extractText(new String(html, java.nio.charset.StandardCharsets.UTF_8)))
+
+  /** zlib ratio of the UTF-8 bytes: compressed/raw, rounded to 6 dp
+    * (empty → 1.0). Fixed level 6 + default strategy → deterministic
+    * bytes, so the ratio is a stable column value. Boilerplate-heavy
+    * text lands well below prose (~0.3–0.6); random-char spam above it. */
+  def deflateRatio(text: UTF8String): Double = {
+    val raw = text.getBytes
+    if (raw.isEmpty) return 1.0
+    val d = new java.util.zip.Deflater(6)
+    try {
+      d.setInput(raw); d.finish()
+      val buf = new Array[Byte](8192)
+      var total = 0L
+      while (!d.finished()) total += d.deflate(buf)
+      math.rint(total.toDouble / raw.length * 1e6) / 1e6
+    } finally d.end()
+  }
 }

@@ -172,6 +172,27 @@ case class MainContentExtract(child: Expression, minWords: Int, maxLinkDensity: 
     copy(child = c)
 }
 
+/** zlib compression ratio of the UTF-8 text — the classic cheap
+  * redundancy/gibberish signal (near-duplicate boilerplate compresses
+  * far below prose; random-character spam compresses above it). Used by
+  * Gopher-style quality stacks next to the repetition fractions.
+  * Deterministic: fixed Deflater level/strategy, ratio rounded to 6 dp.
+  * Fixture-oracled (no SQL engine exposes zlib) + property-tested. */
+case class DeflateRatio(child: Expression)
+    extends UnaryExpression {
+  override def dataType: DataType = DoubleType
+  override def checkInputDataTypes(): TypeCheckResult =
+    GraftExprChecks.requireString(prettyName, child)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "deflate_ratio"
+  override protected def nullSafeEval(v: Any): Any =
+    graft.core.TextExtractor.deflateRatio(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.core.TextExtractor.deflateRatio($c)")
+  override protected def withNewChildInternal(c: Expression): DeflateRatio =
+    copy(child = c)
+}
+
 private[expr] object GraftExprChecks {
   import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
   def requireString(name: String, es: Expression*): TypeCheckResult = {

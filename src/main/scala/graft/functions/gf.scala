@@ -21,6 +21,10 @@ object gf {
   def char_overlap_sim(a: Column, b: Column): Column =
     column(CharOverlapSim(expression(a), expression(b)))
 
+  /** zlib compression ratio of the text (redundancy/gibberish signal —
+    * see [[graft.expr.DeflateRatio]]). */
+  def deflate_ratio(text: Column): Column = column(DeflateRatio(expression(text)))
+
   /** One-pass facility-field probe over raw HTML (struct of all
     * page-level extraction layers — see [[graft.expr.HtmlFacilityProbe]]). */
   def html_probe(html: Column): Column = column(HtmlFacilityProbe(expression(html)))

@@ -49,4 +49,24 @@ class TextExtractorSpec extends AnyFunSuite {
     assert(extractText(null) == null)
     assert(extractText("") == "")
   }
+
+  test("deflate_ratio: deterministic, ordered by redundancy, empty → 1.0") {
+    import org.apache.spark.unsafe.types.UTF8String
+    def r(s: String): Double =
+      TextExtractor.deflateRatio(UTF8String.fromString(s))
+    val boiler = ("menu home about contact " * 80).trim
+    val prose = "the quick brown fox jumps over the lazy dog and then " +
+      "wanders across a meadow where seventeen geese argue about lunch " +
+      "while a tired shepherd counts clouds instead of sheep all afternoon"
+    // high-entropy noise: printable-ASCII stream from the hash mixer
+    // (hex strings are only 16 symbols and compress BELOW short prose)
+    val noise = (0 until 3200).map { i =>
+      (33 + math.floorMod(graft.synth.Synth.mix(i.toLong), 94L)).toChar
+    }.mkString
+    assert(r(boiler) == r(boiler), "must be deterministic")
+    assert(r(boiler) < r(prose) && r(prose) < r(noise),
+      s"ordering violated: boiler=${r(boiler)} prose=${r(prose)} noise=${r(noise)}")
+    assert(r("") == 1.0)
+    assert(r(boiler) < 0.2 && r(noise) > 0.5)
+  }
 }
