@@ -1254,6 +1254,25 @@ object SparkEntry {
           round(max(col("r")), 6).as("max_ratio"))
         .withColumn("boilerplate_suspect", col("mean_ratio") < 0.3)
         .orderBy("source")
+    }),
+
+    "q94_markdown" -> ((s, dir) => { // HTML → Markdown page representation
+      // the reference's primary LLM input is crawl4ai's result.markdown
+      // (hybrid_llm_navigator.py:215,435): raw markdown + chrome-pruned
+      // fit markdown as ONE codegen'd pass each over the page store
+      // (fixture-oracled: no SQL engine renders markdown; the pinned
+      // bytes are themselves asserted by MarkdownSpec's hand cases).
+      val cfg = SynthConfig(nPages = 400L, nHosts = 5)
+      PageSynth.pages(s, cfg).toDF()
+        .select(col("url"),
+          gf.html_to_markdown(col("html")).as("md"),
+          gf.html_to_markdown(col("html"), fit = true).as("fit"))
+        .select(col("url"),
+          md5(col("md").cast("binary")).as("md_md5"),
+          length(col("md")).cast("long").as("md_chars"),
+          md5(col("fit").cast("binary")).as("fit_md5"),
+          length(col("fit")).cast("long").as("fit_chars"))
+        .orderBy("url")
     })
   )
 
@@ -1725,6 +1744,7 @@ object SparkEntry {
     // q93 fixture is pinned at sf0.01 (the gate's scale) like q40/q47 —
     // it reads the sf documents table and zlib is not SQL-expressible
     "q93_compression_quality" -> fixtureOracle("q93_compression_quality"),
+    "q94_markdown" -> fixtureOracle("q94_markdown"),
     // q82 oracle: the WARC serialize→gzip→parse round trip must return
     // exactly the source rows — status injected by the writer, octet
     // length and md5 of the UTF-8 body recomputed from documents.text

@@ -36,6 +36,10 @@ object HtmlDom {
     var idx: Int = 0
     val children: ArrayBuffer[Elem] = new ArrayBuffer[Elem](4)
     private[core] val textParts: ArrayBuffer[String] = new ArrayBuffer[String](4)
+    /** Document-ordered inline content: String text runs (whitespace-only
+      * runs collapsed to " ") interleaved with child Elems. Selector text
+      * ignores interleaving; markdown rendering needs it. */
+    val nodes: ArrayBuffer[AnyRef] = new ArrayBuffer[AnyRef](4)
 
     def attr(name: String): Option[String] = attrs.get(name)
     lazy val classes: Set[String] =
@@ -149,10 +153,18 @@ object HtmlDom {
     stack += root
     def top = stack(stack.length - 1)
     def appendText(t: String): Unit =
-      if (t.exists(!_.isWhitespace)) top.textParts += decodeEntities(t)
+      if (t.exists(!_.isWhitespace)) {
+        val d = decodeEntities(t)
+        top.textParts += d
+        top.nodes += d
+      } else if (t.nonEmpty) {
+        // whitespace-only run: keep a single-space node so inline
+        // neighbors ("<b>a</b> <i>b</i>") stay separated in markdown
+        top.nodes += " "
+      }
     def push(e: Elem): Unit = {
       e.parent = top; e.idx = top.children.length
-      top.children += e; stack += e
+      top.children += e; top.nodes += e; stack += e
     }
     var i = 0
     val n = html.length
@@ -191,14 +203,14 @@ object HtmlDom {
             val e = new Elem(name, parseAttrs(html, j, if (selfClosed) gt - 1 else gt))
             if (rawTextTags.contains(name) && !selfClosed) {
               // raw-text element: attach node, skip content to its close
-              e.parent = top; e.idx = top.children.length; top.children += e
+              e.parent = top; e.idx = top.children.length; top.children += e; top.nodes += e
               val close = "</" + name
               val ce = indexOfIgnoreCase(html, close, gt + 1)
               if (ce < 0) i = n
               else { val g2 = html.indexOf('>', ce); i = if (g2 < 0) n else g2 + 1 }
             } else {
               if (voidTags.contains(name) || selfClosed) {
-                e.parent = top; e.idx = top.children.length; top.children += e
+                e.parent = top; e.idx = top.children.length; top.children += e; top.nodes += e
               } else push(e)
               i = gt + 1
             }

@@ -193,6 +193,34 @@ case class DeflateRatio(child: Expression)
     copy(child = c)
 }
 
+/** HTML → Markdown rendering (the reference's primary page
+  * representation: its LLM paths consume crawl4ai's `result.markdown`,
+  * hybrid_llm_navigator.py:215,435). One codegen'd pass per page over
+  * the in-house DOM; accepts BINARY (page-store html) or STRING.
+  * `fit = true` prunes nav/header/footer/aside/form chrome first
+  * (crawl4ai's fit_markdown vs raw_markdown). */
+case class HtmlToMarkdown(child: Expression, fit: Boolean)
+    extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == BinaryType || child.dataType.isInstanceOf[StringType])
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"html_to_markdown expects STRING or BINARY, got ${child.dataType.sql}")
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "html_to_markdown"
+  private def isBinary: Boolean = child.dataType == BinaryType
+  override protected def nullSafeEval(v: Any): Any =
+    if (isBinary) graft.core.Markdown.renderBytes(v.asInstanceOf[Array[Byte]], fit)
+    else graft.core.Markdown.renderU8(v.asInstanceOf[UTF8String], fit)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val fn = if (isBinary) "renderBytes" else "renderU8"
+    defineCodeGen(ctx, ev, c => s"graft.core.Markdown.$fn($c, $fit)")
+  }
+  override protected def withNewChildInternal(c: Expression): HtmlToMarkdown =
+    copy(child = c)
+}
+
 private[expr] object GraftExprChecks {
   import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
   def requireString(name: String, es: Expression*): TypeCheckResult = {

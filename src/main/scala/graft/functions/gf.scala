@@ -34,6 +34,12 @@ object gf {
   def main_content(html: Column, minWords: Int = 10, maxLinkDensity: Double = 0.33): Column =
     column(MainContentExtract(expression(html), minWords, maxLinkDensity))
 
+  /** HTML → Markdown (the reference's crawl4ai `result.markdown` page
+    * representation — see [[graft.expr.HtmlToMarkdown]]). `fit = true`
+    * prunes nav/header/footer chrome first (fit_markdown). */
+  def html_to_markdown(html: Column, fit: Boolean = false): Column =
+    column(HtmlToMarkdown(expression(html), fit))
+
   /** Multi-column link Generator: a row per `<a href>` anchor —
     * (href, anchor_text, rel) in one html pass (SURVEY.md C26 + the
     * anchor-text half of F3). Use in select() like explode(). */
