@@ -9,7 +9,7 @@ import graft.synth.{PageSynth, SynthConfig}
 import graft.frontier.{Crawler, CrawlRound}
 import graft.extract.{Classify, Dedup, FacilityExtract, Validation}
 import graft.functions.UrlPredicates
-import graft.sources.{Sitemap, Warc}
+import graft.sources.{Feeds, Sitemap, Warc}
 import graft.text.{BigramLm, Bpe, Chunker, Decontaminate, Dsir, InvertedIndex, LineDedup, Packing, Pii, PrepStack, QualityLr, Repetition, Sampling, SpanScrub, TextOps, TextPipeline, Tfidf, UnigramLm}
 import graft.dedup.{DupClusters, NearDup}
 import graft.ann.{SemDedup, SemanticDecontaminate, Similarity}
@@ -1273,6 +1273,30 @@ object SparkEntry {
           md5(col("fit").cast("binary")).as("fit_md5"),
           length(col("fit")).cast("long").as("fit_chars"))
         .orderBy("url")
+    }),
+
+    "q95_feed_entries" -> ((s, dir) => { // RSS/Atom feed source round trip
+      // new-URL discovery via feeds: the documents table serialized as
+      // real RSS 2.0 (even srcN) / Atom 1.0 (odd srcN) XML — escaped
+      // titles in RSS, CDATA titles in Atom — then parsed back through
+      // the tolerant column-only parser and reconciled row-by-row
+      // against a direct SQL reconstruction (the q82 WARC pattern).
+      val grouped = T(s, dir, "documents")
+        .select(col("source"),
+          struct(docUrl.as("url"),
+            substring(col("text"), 1, 60).as("title"),
+            concat(lit("2026-01-"),
+              lpad((col("doc_id") % 28 + 1).cast("string"), 2, "0"))
+              .as("published")).as("item"))
+        .groupBy("source")
+        .agg(sort_array(collect_list(col("item"))).as("items"))
+      Feeds.entries(Feeds.synthesize(grouped))
+        .select(
+          regexp_extract(col("entry_url"), "doc-([0-9]+)$", 1).cast("long")
+            .as("doc_id"),
+          col("fmt"), col("feed_url"), col("entry_url"),
+          col("title"), col("published"))
+        .orderBy("doc_id")
     })
   )
 
@@ -1745,6 +1769,21 @@ object SparkEntry {
     // it reads the sf documents table and zlib is not SQL-expressible
     "q93_compression_quality" -> fixtureOracle("q93_compression_quality"),
     "q94_markdown" -> fixtureOracle("q94_markdown"),
+    // q95 oracle: the feed serialize→parse round trip must return exactly
+    // the source rows — fmt/feed_url/title/published reconstructed by the
+    // same deterministic formulas the synthesizer used (escape∘unescape
+    // and CDATA-wrap∘unwrap are identities on well-formed titles)
+    "q95_feed_entries" ->
+      """SELECT doc_id,
+        | CASE WHEN CAST(substring(source, 4) AS INT) % 2 = 0
+        |      THEN 'rss' ELSE 'atom' END AS fmt,
+        | 'https://' || source || '.example.com/feed.xml' AS feed_url,
+        | concat('https://', source, '.example.com/', lang, '/doc-', doc_id)
+        |   AS entry_url,
+        | substring(text, 1, 60) AS title,
+        | '2026-01-' || lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0')
+        |   AS published
+        |FROM documents ORDER BY doc_id""".stripMargin,
     // q82 oracle: the WARC serialize→gzip→parse round trip must return
     // exactly the source rows — status injected by the writer, octet
     // length and md5 of the UTF-8 body recomputed from documents.text
