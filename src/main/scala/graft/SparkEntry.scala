@@ -1297,6 +1297,23 @@ object SparkEntry {
           col("fmt"), col("feed_url"), col("entry_url"),
           col("title"), col("published"))
         .orderBy("doc_id")
+    }),
+
+    "q96_unicode_nfc" -> ((s, dir) => { // unicode NFC normalization
+      // normalize-before-fingerprint: decomposed combining sequences
+      // planted identically from doc_id in both engines (the q45 PII
+      // pattern); NFC must compose them so the JDK kernel and DuckDB's
+      // nfc_normalize hash byte-for-byte identically, and the
+      // codepoint count must shrink by exactly the composed marks.
+      val planted = concat(col("text"), lit(" "),
+        element_at(array(lit("cafe\u0301"), lit("na\u0308ive"),
+          lit("A\u030Aland"), lit("fac\u0327ade")),
+          (col("doc_id") % 4 + 1).cast("int")))
+      T(s, dir, "documents").select(col("doc_id"),
+          length(planted).cast("long").as("n_raw"),
+          length(gf.unicode_normalize(planted)).cast("long").as("n_nfc"),
+          md5(gf.unicode_normalize(planted).cast("binary")).as("nfc_md5"))
+        .orderBy("doc_id")
     })
   )
 
@@ -1784,6 +1801,21 @@ object SparkEntry {
         | '2026-01-' || lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0')
         |   AS published
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // q96 oracle: JDK Normalizer NFC ≡ DuckDB nfc_normalize on the same
+    // planted decomposed sequences — md5 over the composed UTF-8 bytes
+    // and the code-point shrink must both agree exactly
+    "q96_unicode_nfc" ->
+      """WITH p AS (SELECT doc_id, text || ' ' ||
+        |  CASE CAST(doc_id % 4 AS INT)
+        |    WHEN 0 THEN 'cafe' || chr(769)
+        |    WHEN 1 THEN 'na' || chr(776) || 'ive'
+        |    WHEN 2 THEN 'A' || chr(778) || 'land'
+        |    ELSE 'fac' || chr(807) || 'ade' END AS raw
+        |  FROM documents)
+        |SELECT doc_id, CAST(length(raw) AS BIGINT) AS n_raw,
+        |  CAST(length(nfc_normalize(raw)) AS BIGINT) AS n_nfc,
+        |  md5(nfc_normalize(raw)) AS nfc_md5
+        |FROM p ORDER BY doc_id""".stripMargin,
     // q82 oracle: the WARC serialize→gzip→parse round trip must return
     // exactly the source rows — status injected by the writer, octet
     // length and md5 of the UTF-8 body recomputed from documents.text

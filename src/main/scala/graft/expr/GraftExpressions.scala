@@ -193,6 +193,29 @@ case class DeflateRatio(child: Expression)
     copy(child = c)
 }
 
+/** Unicode normalization (NFC|NFD|NFKC|NFKD via [[graft.core.TextNorm]])
+  * — prep pipelines MUST normalize before fingerprinting or `é` and
+  * `e`+combining-acute dedup as distinct docs. NFC is cross-engine
+  * SQL-oracled (DuckDB `nfc_normalize`, q96); the other forms share the
+  * JDK kernel and are spec-tested. Codegen'd static call; the fast path
+  * returns already-normalized input without re-encoding. */
+case class UnicodeNormalize(child: Expression, form: String)
+    extends UnaryExpression {
+  require(Set("NFC", "NFD", "NFKC", "NFKD")(form),
+    s"unknown normalization form '$form'")
+  override def dataType: DataType = StringType
+  override def checkInputDataTypes(): TypeCheckResult =
+    GraftExprChecks.requireString(prettyName, child)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "unicode_normalize"
+  override protected def nullSafeEval(v: Any): Any =
+    graft.core.TextNorm.normalize(v.asInstanceOf[UTF8String], form)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"""graft.core.TextNorm.normalize($c, "$form")""")
+  override protected def withNewChildInternal(c: Expression): UnicodeNormalize =
+    copy(child = c)
+}
+
 /** HTML → Markdown rendering (the reference's primary page
   * representation: its LLM paths consume crawl4ai's `result.markdown`,
   * hybrid_llm_navigator.py:215,435). One codegen'd pass per page over

@@ -40,6 +40,12 @@ object gf {
   def html_to_markdown(html: Column, fit: Boolean = false): Column =
     column(HtmlToMarkdown(expression(html), fit))
 
+  /** Unicode normalization (default NFC — the cross-engine-verifiable
+    * form; see [[graft.expr.UnicodeNormalize]]). Normalize BEFORE any
+    * fingerprint/dedup hash. */
+  def unicode_normalize(text: Column, form: String = "NFC"): Column =
+    column(UnicodeNormalize(expression(text), form))
+
   /** Multi-column link Generator: a row per `<a href>` anchor —
     * (href, anchor_text, rel) in one html pass (SURVEY.md C26 + the
     * anchor-text half of F3). Use in select() like explode(). */

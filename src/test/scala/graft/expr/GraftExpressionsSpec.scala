@@ -87,4 +87,31 @@ class GraftExpressionsSpec extends SparkTestBase {
       // relative "p3" resolves against /dir/x → /dir/p3
       ("https://b.example.com/dir/p3", 1L, 1L, "deep")))
   }
+
+  test("unicode_normalize: NFC composes, NFKC folds compatibility forms, ascii fast path") {
+    val df = Seq(
+      "cafe\u0301",     // e + combining acute -> e-acute
+      "\uFF28\uFF49",   // fullwidth HI: NFC keeps, NFKC folds to ascii
+      "\u2460 first",   // circled one: NFKC folds to '1'
+      "plain ascii").toDF("t")
+    val nfc = df.select(gf.unicode_normalize($"t").as("n"),
+      length($"t").as("lr"), length(gf.unicode_normalize($"t")).as("ln")).collect()
+    assert(nfc(0).getString(0) == "caf\u00E9" &&
+      nfc(0).getInt(1) == 5 && nfc(0).getInt(2) == 4)
+    assert(nfc(1).getString(0) == "\uFF28\uFF49") // NFC leaves compatibility forms
+    assert(nfc(3).getString(0) == "plain ascii")
+    val nfkc = df.select(gf.unicode_normalize($"t", "NFKC").as("n")).collect()
+    assert(nfkc(0).getString(0) == "caf\u00E9")
+    assert(nfkc(1).getString(0) == "Hi")
+    assert(nfkc(2).getString(0) == "1 first")
+    // dedup motivation: decomposed and precomposed fingerprint identically post-NFC
+    val pair = Seq("re\u0301sume\u0301", "r\u00E9sum\u00E9").toDF("t")
+      .select(md5(gf.unicode_normalize($"t").cast("binary")).as("h"))
+      .collect().map(_.getString(0))
+    assert(pair(0) == pair(1))
+    intercept[IllegalArgumentException] {
+      graft.expr.UnicodeNormalize(
+        org.apache.spark.sql.catalyst.expressions.Literal("x"), "NFX")
+    }
+  }
 }
