@@ -1314,6 +1314,45 @@ object SparkEntry {
           length(gf.unicode_normalize(planted)).cast("long").as("n_nfc"),
           md5(gf.unicode_normalize(planted).cast("binary")).as("nfc_md5"))
         .orderBy("doc_id")
+    }),
+
+    "q97_canonical_groups" -> ((s, dir) => { // rel=canonical consolidation
+      // duplicate-URL consolidation by DECLARED canonical: each doc
+      // serves three url variants (bare, ?utm, /amp) whose heads carry
+      // <link rel=canonical> + <meta og:url> (every 5th doc omits them
+      // — fallback is the page url itself). Spark goes through REAL
+      // html + css attribute extraction; the oracle reconstructs the
+      // grouping straight from the synthesis formula, so the DOM/attr
+      // path is verified end-to-end. og_agree == n_declared iff the
+      // og:url extraction returns exactly the declared canonical.
+      val pages = T(s, dir, "documents")
+        .select(col("doc_id"), docUrl.as("canon"),
+          explode(array(lit(""), lit("?utm_source=feed"), lit("/amp")))
+            .as("suffix"))
+        .select(col("doc_id"),
+          concat(col("canon"), col("suffix")).as("page_url"),
+          concat(lit("<html><head>"),
+            when(col("doc_id") % 5 === 0, lit(""))
+              .otherwise(concat(
+                lit("<link rel=\"canonical\" href=\""), col("canon"),
+                lit("\"><meta property=\"og:url\" content=\""), col("canon"),
+                lit("\">"))),
+            lit("<title>d</title></head><body><p>b</p></body></html>"))
+            .as("html"))
+      pages
+        .select(col("page_url"),
+          get(gf.css_attr_all(col("html"), "link[rel=canonical]", "href"), lit(0))
+            .as("declared"),
+          get(gf.css_attr_all(col("html"), "meta[property=\"og:url\"]", "content"), lit(0))
+            .as("og"))
+        .select(col("page_url"), col("declared"), col("og"),
+          coalesce(col("declared"), col("page_url")).as("canonical"))
+        .groupBy("canonical")
+        .agg(count(lit(1)).as("n_pages"),
+          count(col("declared")).as("n_declared"),
+          count(when(col("declared") === col("og"), 1)).as("og_agree"),
+          min(col("page_url")).as("representative"))
+        .orderBy("canonical")
     })
   )
 
@@ -1816,6 +1855,25 @@ object SparkEntry {
         |  CAST(length(nfc_normalize(raw)) AS BIGINT) AS n_nfc,
         |  md5(nfc_normalize(raw)) AS nfc_md5
         |FROM p ORDER BY doc_id""".stripMargin,
+    // q97 oracle: the canonical grouping reconstructed straight from the
+    // synthesis formula — Spark must recover it through real html + css
+    // attribute extraction; og_agree = n_declared because og:url is
+    // synthesized equal to the canonical wherever declared
+    "q97_canonical_groups" ->
+      """WITH v AS (SELECT doc_id,
+        |    concat('https://', source, '.example.com/', lang, '/doc-', doc_id)
+        |      AS canon,
+        |    unnest(['', '?utm_source=feed', '/amp']) AS suffix
+        |  FROM documents),
+        |p AS (SELECT doc_id, canon || suffix AS page_url,
+        |    CASE WHEN doc_id % 5 = 0 THEN NULL ELSE canon END AS declared
+        |  FROM v)
+        |SELECT coalesce(declared, page_url) AS canonical,
+        |  CAST(count(*) AS BIGINT) AS n_pages,
+        |  CAST(count(declared) AS BIGINT) AS n_declared,
+        |  CAST(count(declared) AS BIGINT) AS og_agree,
+        |  min(page_url) AS representative
+        |FROM p GROUP BY 1 ORDER BY 1""".stripMargin,
     // q82 oracle: the WARC serialize→gzip→parse round trip must return
     // exactly the source rows — status injected by the writer, octet
     // length and md5 of the UTF-8 body recomputed from documents.text

@@ -64,6 +64,46 @@ case class CssSelectAll(left: Expression, right: Expression)
     copy(l, r)
 }
 
+/** `css_attr_all(html, selector, attrName)` → array<string>: the named
+  * attribute's value for every selector match IN DOCUMENT ORDER,
+  * matches lacking the attribute skipped — the attribute half of a
+  * scraping schema (`link[rel=canonical]`/href, `meta[property="og:url"]`
+  * /content, `img`/src …) that [[CssSelectAll]]'s text extraction can't
+  * express. Selector and attribute must be literals (compiled once on
+  * the driver, static-call codegen like [[CssSelectAll]]). */
+case class CssAttrAll(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "css_attr_all"
+  override def nullIntolerant: Boolean = true
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (!first.dataType.isInstanceOf[StringType])
+      TypeCheckResult.TypeCheckFailure(s"html must be STRING, got ${first.dataType.sql}")
+    else if (Seq(second, third).exists(s => !s.foldable || !s.dataType.isInstanceOf[StringType]))
+      TypeCheckResult.TypeCheckFailure("selector and attribute must be STRING literals")
+    else TypeCheckResult.TypeCheckSuccess
+
+  @transient private lazy val compiled: CompiledCss = new CompiledCss(
+    CssSelector.compile(second.eval().asInstanceOf[UTF8String].toString),
+    Array.empty)
+  private lazy val attrName: String = {
+    val a = third.eval().asInstanceOf[UTF8String].toString
+    require(a.matches("[A-Za-z0-9:_-]+"), s"invalid attribute name '$a'")
+    a
+  }
+
+  override protected def nullSafeEval(html: Any, sel: Any, attr: Any): Any =
+    CssSelect.selectAttrs(html.asInstanceOf[UTF8String], compiled, attrName)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("cssSelector", compiled, "graft.expr.CompiledCss")
+    defineCodeGen(ctx, ev, (h, _, _) =>
+      s"""graft.expr.CssSelect.selectAttrs($h, $ref, "$attrName")""")
+  }
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression): CssAttrAll = copy(f, s, t)
+}
+
 case class CssExtract(children: Seq[Expression]) extends Expression {
   require(children.length >= 3,
     "css_extract(html, baseSelector, fieldSelector1, ...)")
@@ -119,6 +159,15 @@ object CssSelect {
     val root = HtmlDom.parse(html.toString)
     new GenericArrayData(
       sel.base.select(root).map(e => UTF8String.fromString(e.text)).toArray[Any])
+  }
+
+  /** array<string> of the named attribute over matches, document order;
+    * matches lacking the attribute are skipped. */
+  def selectAttrs(html: UTF8String, sel: CompiledCss, attr: String): GenericArrayData = {
+    val root = HtmlDom.parse(html.toString)
+    new GenericArrayData(
+      sel.base.select(root).flatMap(_.attr(attr))
+        .map(UTF8String.fromString).toArray[Any])
   }
 
   /** array<struct<f0..fn:string>>: per base match, first-match text per

@@ -57,6 +57,13 @@ object gf {
   def css_select_all(html: Column, selector: String): Column =
     column(CssSelectAll(expression(html), expression(lit(selector))))
 
+  /** Attribute values of every selector match, document order — the
+    * attribute half of a scraping schema (see [[graft.expr.CssAttrAll]]).
+    * Selector and attribute must be literals. */
+  def css_attr_all(html: Column, selector: String, attr: String): Column =
+    column(CssAttrAll(expression(html), expression(lit(selector)),
+      expression(lit(attr))))
+
   /** Schema-driven CSS extraction: one struct per baseSelector match,
     * one field (f0..fn) per field selector's first match in that scope
     * (see [[graft.expr.CssExtract]]). Selectors must be literals. */

@@ -116,4 +116,30 @@ class CssSelectorSpec extends SparkTestBase {
       .filter(size(col("s")) > 0).as[(String, Seq[String])].collect()
     assert(svc.nonEmpty && svc.forall(_._2.length == 2))
   }
+
+  test("css_attr_all: attribute values in document order, missing-attr matches skipped") {
+    import spark.implicits._
+    val html =
+      """<html><head>
+        |<link rel="canonical" href="https://h.com/x">
+        |<meta property="og:url" content="https://h.com/x">
+        |<meta property="og:title" content="T">
+        |</head><body>
+        |<a href="/one">1</a><a name="no-href">2</a><a href="/two">3</a>
+        |<img src="/i1.png"><img alt="no src">
+        |</body></html>""".stripMargin
+    val df = Seq(html).toDF("html")
+    def attrs(sel: String, a: String): Seq[String] =
+      df.select(gf.css_attr_all(col("html"), sel, a).as("v"))
+        .as[Seq[String]].head()
+    assert(attrs("link[rel=canonical]", "href") == Seq("https://h.com/x"))
+    assert(attrs("meta[property=\"og:url\"]", "content") == Seq("https://h.com/x"))
+    assert(attrs("a", "href") == Seq("/one", "/two")) // no-href anchor skipped
+    assert(attrs("img", "src") == Seq("/i1.png"))
+    assert(attrs("meta", "content") == Seq("https://h.com/x", "T"))
+    // filter pushes through codegen
+    val n = Seq(html, "<p>none</p>").toDF("html")
+      .filter(size(gf.css_attr_all(col("html"), "a", "href")) > 0).count()
+    assert(n == 1)
+  }
 }
