@@ -1353,6 +1353,37 @@ object SparkEntry {
           count(when(col("declared") === col("og"), 1)).as("og_agree"),
           min(col("page_url")).as("representative"))
         .orderBy("canonical")
+    }),
+
+    "q98_charset_sniff" -> ((s, dir) => { // charset sniff + decode round trip
+      // the real web is not all UTF-8: each doc's page is encoded per
+      // doc_id%5 as meta-labeled UTF-8, BOM'd UTF-16LE/BE, meta-labeled
+      // ISO-8859-1, or bare unlabeled UTF-8 (planted é makes the
+      // encodings genuinely differ); sniff_decode must identify the
+      // charset (BOM → meta → UTF-8 check) and recover the original
+      // string byte-identically — the oracle builds that string
+      // directly in SQL and never sees the encoded bytes.
+      val mode = (col("doc_id") % 5).cast("int")
+      val page = concat(lit("<html><head>"),
+        when(mode === 0, lit("<meta charset=\"utf-8\">"))
+          .when(mode === 3, lit("<meta charset=\"iso-8859-1\">"))
+          .otherwise(lit("")),
+        lit("</head><body><p>"), col("text"),
+        lit(" caf\u00E9</p></body></html>"))
+      val bytes =
+        when(mode === 1, concat(
+            lit(Array(0xFF.toByte, 0xFE.toByte)), encode(page, "UTF-16LE")))
+          .when(mode === 2, concat(
+            lit(Array(0xFE.toByte, 0xFF.toByte)), encode(page, "UTF-16BE")))
+          .when(mode === 3, encode(page, "ISO-8859-1"))
+          .otherwise(encode(page, "UTF-8"))
+      T(s, dir, "documents")
+        .select(col("doc_id"), bytes.as("raw"))
+        .select(col("doc_id"),
+          gf.sniff_charset(col("raw")).as("charset"),
+          length(gf.sniff_decode(col("raw"))).cast("long").as("n_chars"),
+          md5(gf.sniff_decode(col("raw")).cast("binary")).as("text_md5"))
+        .orderBy("doc_id")
     })
   )
 
@@ -1874,6 +1905,26 @@ object SparkEntry {
         |  CAST(count(declared) AS BIGINT) AS og_agree,
         |  min(page_url) AS representative
         |FROM p GROUP BY 1 ORDER BY 1""".stripMargin,
+    // q98 oracle: the pre-encode page string rebuilt directly in SQL —
+    // the Spark side must sniff the charset and decode the bytes back to
+    // exactly this string (md5 over UTF-8, code-point length)
+    "q98_charset_sniff" ->
+      """WITH b AS (SELECT doc_id,
+        |  '<html><head>' ||
+        |  CASE CAST(doc_id % 5 AS INT)
+        |    WHEN 0 THEN '<meta charset="utf-8">'
+        |    WHEN 3 THEN '<meta charset="iso-8859-1">'
+        |    ELSE '' END ||
+        |  '</head><body><p>' || text || ' caf' || chr(233)
+        |    || '</p></body></html>' AS page
+        |FROM documents)
+        |SELECT doc_id,
+        |  CASE CAST(doc_id % 5 AS INT)
+        |    WHEN 1 THEN 'utf-16le' WHEN 2 THEN 'utf-16be'
+        |    WHEN 3 THEN 'iso-8859-1' ELSE 'utf-8' END AS charset,
+        |  CAST(length(page) AS BIGINT) AS n_chars,
+        |  md5(page) AS text_md5
+        |FROM b ORDER BY doc_id""".stripMargin,
     // q82 oracle: the WARC serialize→gzip→parse round trip must return
     // exactly the source rows — status injected by the writer, octet
     // length and md5 of the UTF-8 body recomputed from documents.text

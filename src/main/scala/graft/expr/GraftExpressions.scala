@@ -193,6 +193,44 @@ case class DeflateRatio(child: Expression)
     copy(child = c)
 }
 
+/** Charset detection over raw fetched page bytes (BOM → meta charset in
+  * the first 1 KiB → UTF-8 validation → windows-1252 fallback; see
+  * [[graft.core.CharsetSniff]]). */
+case class SniffCharset(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == BinaryType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"sniff_charset expects BINARY, got ${child.dataType.sql}")
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "sniff_charset"
+  override protected def nullSafeEval(v: Any): Any =
+    graft.core.CharsetSniff.sniff(v.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.core.CharsetSniff.sniff($c)")
+  override protected def withNewChildInternal(c: Expression): SniffCharset =
+    copy(child = c)
+}
+
+/** Sniff + BOM-strip + decode raw page bytes to text — the mandatory
+  * first step before any text operator on a real (non-all-UTF-8) crawl.
+  * Round-trip proven by q98. */
+case class SniffDecode(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == BinaryType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"sniff_decode expects BINARY, got ${child.dataType.sql}")
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "sniff_decode"
+  override protected def nullSafeEval(v: Any): Any =
+    graft.core.CharsetSniff.decode(v.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.core.CharsetSniff.decode($c)")
+  override protected def withNewChildInternal(c: Expression): SniffDecode =
+    copy(child = c)
+}
+
 /** Unicode normalization (NFC|NFD|NFKC|NFKD via [[graft.core.TextNorm]])
   * — prep pipelines MUST normalize before fingerprinting or `é` and
   * `e`+combining-acute dedup as distinct docs. NFC is cross-engine

@@ -46,6 +46,14 @@ object gf {
   def unicode_normalize(text: Column, form: String = "NFC"): Column =
     column(UnicodeNormalize(expression(text), form))
 
+  /** Charset label of raw fetched bytes (BOM → meta → UTF-8 check →
+    * windows-1252; see [[graft.expr.SniffCharset]]). */
+  def sniff_charset(bytes: Column): Column = column(SniffCharset(expression(bytes)))
+
+  /** Sniff + BOM-strip + decode raw page bytes to text (see
+    * [[graft.expr.SniffDecode]]). */
+  def sniff_decode(bytes: Column): Column = column(SniffDecode(expression(bytes)))
+
   /** Multi-column link Generator: a row per `<a href>` anchor —
     * (href, anchor_text, rel) in one html pass (SURVEY.md C26 + the
     * anchor-text half of F3). Use in select() like explode(). */
