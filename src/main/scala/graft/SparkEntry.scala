@@ -1384,12 +1384,45 @@ object SparkEntry {
           length(gf.sniff_decode(col("raw"))).cast("long").as("n_chars"),
           md5(gf.sniff_decode(col("raw")).cast("binary")).as("text_md5"))
         .orderBy("doc_id")
+    }),
+
+    "q99_dict_filter" -> ((s, dir) => { // Aho-Corasick dictionary filter
+      // the C4/Gopher bad-word-list shape: a mixed 1/2/3-word phrase
+      // dictionary matched in ONE automaton pass per doc (10^4-entry
+      // production lists cost the same pass); the oracle replays the
+      // exact token-position semantics per entry in SQL, overlapping
+      // matches included.
+      T(s, dir, "documents")
+        .select(col("doc_id"),
+          gf.dict_hits(col("text"), q99Dict).as("hits"))
+        .withColumn("blocked", col("hits") > 0)
+        .orderBy("doc_id")
     })
   )
+
+  /** q99 dictionary — 1/2/3-word entries over the synthetic vocab plus an
+    * absent term; shared verbatim with the oracle generator. */
+  private val q99Dict =
+    Seq("slow", "fast merge", "table table", "a a the", "zzzabsent")
 
   /** DuckDB word list — identical to [[TextOps.words]]. */
   private val duckWords =
     "list_filter(regexp_split_to_array(lower(text), '[^a-z]+'), x -> x <> '')"
+
+  /** q99 oracle: sum of per-entry token-position counts (the exact
+    * AhoCorasick semantics — overlapping matches counted). */
+  private def q99OracleSql: String = {
+    val terms = q99Dict.map { e =>
+      val k = e.split(" ").length
+      if (k == 1) s"len(list_filter(words, x -> x = '$e'))"
+      else s"len(list_filter(range(1, len(words) - ${k - 2}), " +
+        s"i -> array_to_string(words[i:i+${k - 1}], ' ') = '$e'))"
+    }.mkString(" + ")
+    s"""WITH w AS (SELECT doc_id, $duckWords AS words FROM documents)
+       |SELECT doc_id, CAST($terms AS BIGINT) AS hits,
+       |  ($terms) > 0 AS blocked
+       |FROM w ORDER BY doc_id""".stripMargin
+  }
 
   /** DuckDB k-word-shingle set over `words` (matches NearDup.shingleHashes
     * modulo the collision-free hash: set cardinalities are identical). */
@@ -1925,6 +1958,10 @@ object SparkEntry {
         |  CAST(length(page) AS BIGINT) AS n_chars,
         |  md5(page) AS text_md5
         |FROM b ORDER BY doc_id""".stripMargin,
+    // q99 oracle: per-entry token-position counts replayed in SQL —
+    // single words as element filters, k-word phrases as k-gram
+    // position filters (overlaps counted, the AC semantics)
+    "q99_dict_filter" -> q99OracleSql,
     // q82 oracle: the WARC serialize→gzip→parse round trip must return
     // exactly the source rows — status injected by the writer, octet
     // length and md5 of the UTF-8 body recomputed from documents.text

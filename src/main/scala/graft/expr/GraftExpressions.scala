@@ -193,6 +193,30 @@ case class DeflateRatio(child: Expression)
     copy(child = c)
 }
 
+/** Dictionary content filter: total Aho-Corasick hits of a multi-word
+  * phrase dictionary over the token stream (see
+  * [[graft.core.AhoCorasick]] for exact position semantics). The
+  * automaton compiles ONCE on the driver and ships as a codegen
+  * reference object — one text pass regardless of dictionary size,
+  * where N regexes would be N passes. */
+case class DictHits(child: Expression, dict: Seq[String])
+    extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def checkInputDataTypes(): TypeCheckResult =
+    GraftExprChecks.requireString(prettyName, child)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "dict_hits"
+  @transient private lazy val ac = new graft.core.AhoCorasick(dict)
+  override protected def nullSafeEval(v: Any): Any =
+    ac.countText(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("dictAc", ac, "graft.core.AhoCorasick")
+    defineCodeGen(ctx, ev, c => s"$ref.countText($c)")
+  }
+  override protected def withNewChildInternal(c: Expression): DictHits =
+    copy(child = c)
+}
+
 /** Charset detection over raw fetched page bytes (BOM → meta charset in
   * the first 1 KiB → UTF-8 validation → windows-1252 fallback; see
   * [[graft.core.CharsetSniff]]). */

@@ -54,6 +54,12 @@ object gf {
     * [[graft.expr.SniffDecode]]). */
   def sniff_decode(bytes: Column): Column = column(SniffDecode(expression(bytes)))
 
+  /** Total Aho-Corasick dictionary hits over the token stream (one pass
+    * for any dictionary size; see [[graft.expr.DictHits]]). Entries are
+    * lowercase words/phrases. */
+  def dict_hits(text: Column, dict: Seq[String]): Column =
+    column(DictHits(expression(text), dict))
+
   /** Multi-column link Generator: a row per `<a href>` anchor —
     * (href, anchor_text, rel) in one html pass (SURVEY.md C26 + the
     * anchor-text half of F3). Use in select() like explode(). */
