@@ -1397,6 +1397,43 @@ object SparkEntry {
           gf.dict_hits(col("text"), q99Dict).as("hits"))
         .withColumn("blocked", col("hits") > 0)
         .orderBy("doc_id")
+    }),
+
+    "q100_robots_meta" -> ((s, dir) => { // robots meta + rel=nofollow
+      // page-level <meta name=robots> directives and link-level
+      // rel=nofollow — the index/frontier gates every polite crawler
+      // applies after fetch. Pages synthesized per doc_id%4 (none /
+      // noindex / nofollow / both, plus one nofollow link of two);
+      // Spark recovers the gates through the real DOM + link
+      // extraction, the oracle replays the mode arithmetic.
+      val mode = (col("doc_id") % 4).cast("int")
+      val metaTag =
+        when(mode === 1, lit("<meta name=\"robots\" content=\"noindex\">"))
+          .when(mode === 2, lit("<meta name=\"robots\" content=\"nofollow\">"))
+          .when(mode === 3,
+            lit("<meta name=\"robots\" content=\"noindex, nofollow\">"))
+          .otherwise(lit(""))
+      val pages = T(s, dir, "documents").select(col("doc_id"),
+        concat(lit("<html><head>"), metaTag,
+          lit("</head><body><a href=\"/a\">one</a>" +
+            "<a href=\"/b\" rel=\"nofollow\">two</a></body></html>"))
+          .as("html"))
+      val robots = lower(coalesce(
+        get(gf.css_attr_all(col("html"), "meta[name=robots]", "content"),
+          lit(0)), lit("")))
+      pages
+        .select(col("doc_id"),
+          (!robots.contains("noindex")).as("indexable"),
+          (!robots.contains("nofollow")).as("follow_page"),
+          gf.extract_links(col("html")).as(Seq("href", "anchor_text", "rel")))
+        .groupBy("doc_id", "indexable", "follow_page")
+        .agg(count(lit(1)).as("n_links"),
+          count(when(col("follow_page") &&
+            !coalesce(col("rel"), lit("")).contains("nofollow"), 1))
+            .as("n_follow_links"))
+        .select(col("doc_id"), col("indexable"), col("n_links"),
+          col("n_follow_links"))
+        .orderBy("doc_id")
     })
   )
 
@@ -1962,6 +1999,15 @@ object SparkEntry {
     // single words as element filters, k-word phrases as k-gram
     // position filters (overlaps counted, the AC semantics)
     "q99_dict_filter" -> q99OracleSql,
+    // q100 oracle: the robots-gate mode arithmetic — Spark must recover
+    // it through real meta/content extraction and the link generator
+    "q100_robots_meta" ->
+      """SELECT doc_id,
+        | CAST(doc_id % 4 AS INT) NOT IN (1, 3) AS indexable,
+        | CAST(2 AS BIGINT) AS n_links,
+        | CAST(CASE WHEN CAST(doc_id % 4 AS INT) IN (2, 3)
+        |      THEN 0 ELSE 1 END AS BIGINT) AS n_follow_links
+        |FROM documents ORDER BY doc_id""".stripMargin,
     // q82 oracle: the WARC serialize→gzip→parse round trip must return
     // exactly the source rows — status injected by the writer, octet
     // length and md5 of the UTF-8 body recomputed from documents.text
