@@ -1434,6 +1434,38 @@ object SparkEntry {
         .select(col("doc_id"), col("indexable"), col("n_links"),
           col("n_follow_links"))
         .orderBy("doc_id")
+    }),
+
+    "q101_distinct_sketch" -> ((s, dir) => { // mergeable HLL cardinality
+      // per-source distinct-key counting as m bytes of sketch state
+      // instead of a distinct set: per-(source,lang) DELTA sketches are
+      // built first, then register-max-merged per source (the carried
+      // incremental-state shape, ≡ one-shot byte-identically — HllSpec
+      // proves it); each key is planted twice so the sketch must
+      // actually dedup. The estimate is asserted within 5 % of the
+      // exact count IN the query (the q46/q84 exact-regime pattern:
+      // p=12 ⇒ σ≈1.6 %), and only the SQL-expressible exact counts are
+      // output.
+      val rows = T(s, dir, "documents")
+        .select(col("source"), col("lang"), col("doc_id"),
+          explode(sequence(lit(0), lit(19))).as("k"))
+        .select(col("source"), col("lang"),
+          concat(col("source"), lit("#"),
+            (col("doc_id") * 10 + col("k") % 10).cast("string")).as("key"))
+      val deltas = rows.groupBy("source", "lang")
+        .agg(gf.hll_agg(xxhash64(col("key"))).as("sketch"))
+      val merged = deltas.groupBy("source")
+        .agg(gf.hll_merge_agg(col("sketch")).as("sketch"))
+        .select(col("source"), gf.hll_estimate(col("sketch")).as("est"))
+      val exact = rows.groupBy("source")
+        .agg(count_distinct(col("key")).as("n_exact"))
+      val joined = exact.join(merged, Seq("source")).collect()
+      joined.foreach { r =>
+        val (n, est) = (r.getLong(1), r.getDouble(2))
+        require(math.abs(est - n) / n <= 0.05,
+          s"HLL estimate off by >5% for ${r.getString(0)}: est=$est exact=$n")
+      }
+      exact.orderBy("source")
     })
   )
 
@@ -2008,6 +2040,13 @@ object SparkEntry {
         | CAST(CASE WHEN CAST(doc_id % 4 AS INT) IN (2, 3)
         |      THEN 0 ELSE 1 END AS BIGINT) AS n_follow_links
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // q101 oracle: exact per-source distinct keys (each planted twice);
+    // the sketch estimate is asserted against this inside the query
+    "q101_distinct_sketch" ->
+      """SELECT source,
+        | CAST(count(DISTINCT doc_id * 10 + t.k % 10) AS BIGINT) AS n_exact
+        |FROM documents, unnest(range(0, 20)) AS t(k)
+        |GROUP BY source ORDER BY source""".stripMargin,
     // q82 oracle: the WARC serialize→gzip→parse round trip must return
     // exactly the source rows — status injected by the writer, octet
     // length and md5 of the UTF-8 body recomputed from documents.text

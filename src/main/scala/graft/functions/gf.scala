@@ -60,6 +60,20 @@ object gf {
   def dict_hits(text: Column, dict: Seq[String]): Column =
     column(DictHits(expression(text), dict))
 
+  /** HyperLogLog sketch of pre-hashed LONG values (standard error ≈
+    * 1.04/√2^p; see [[graft.expr.HllAgg]]). Returns a binary blob. */
+  def hll_agg(hashedValues: Column, p: Int = 12): Column =
+    column(HllAgg(expression(hashedValues), p).toAggregateExpression())
+
+  /** Register-max merge of same-precision HLL blobs — incremental
+    * carried distinct-count state, ≡ full rebuild byte-identically. */
+  def hll_merge_agg(sketches: Column): Column =
+    column(HllMergeAgg(expression(sketches)).toAggregateExpression())
+
+  /** Cardinality estimate of an HLL blob. */
+  def hll_estimate(sketch: Column): Column =
+    column(HllEstimate(expression(sketch)))
+
   /** Multi-column link Generator: a row per `<a href>` anchor —
     * (href, anchor_text, rel) in one html pass (SURVEY.md C26 + the
     * anchor-text half of F3). Use in select() like explode(). */
