@@ -1466,6 +1466,33 @@ object SparkEntry {
           s"HLL estimate off by >5% for ${r.getString(0)}: est=$est exact=$n")
       }
       exact.orderBy("source")
+    }),
+
+    "q102_mime_route" -> ((s, dir) => { // MIME sniff + response routing
+      // content-type gating before the text pipeline: each doc's
+      // payload carries a different container per doc_id%8 (html with
+      // leading whitespace, PDF, PNG/GIF magic, ZIP, GZIP, plain text,
+      // text poisoned with a NUL) — sniff_mime must route every one;
+      // the per-source route counts are replayed by mode arithmetic.
+      val mode = (col("doc_id") % 8).cast("int")
+      val textBytes = encode(col("text"), "UTF-8")
+      val payload =
+        when(mode === 0, encode(concat(lit(" \n<!DOCTYPE html><html><body>"),
+            col("text"), lit("</body></html>")), "UTF-8"))
+          .when(mode === 1, concat(encode(lit("%PDF-1.7\n"), "UTF-8"), textBytes))
+          .when(mode === 2, concat(
+            lit(Array(0x89.toByte, 'P'.toByte, 'N'.toByte, 'G'.toByte,
+              0x0D.toByte, 0x0A.toByte, 0x1A.toByte, 0x0A.toByte)), textBytes))
+          .when(mode === 3, concat(encode(lit("GIF89a"), "UTF-8"), textBytes))
+          .when(mode === 4, concat(
+            lit(Array('P'.toByte, 'K'.toByte, 0x03.toByte, 0x04.toByte)), textBytes))
+          .when(mode === 5, concat(lit(Array(0x1F.toByte, 0x8B.toByte)), textBytes))
+          .when(mode === 6, textBytes)
+          .otherwise(concat(lit(Array(0x00.toByte)), textBytes))
+      T(s, dir, "documents")
+        .select(col("source"), gf.sniff_mime(payload).as("mime"))
+        .groupBy("source", "mime").agg(count(lit(1)).as("n"))
+        .orderBy("source", "mime")
     })
   )
 
@@ -2047,6 +2074,17 @@ object SparkEntry {
         | CAST(count(DISTINCT doc_id * 10 + t.k % 10) AS BIGINT) AS n_exact
         |FROM documents, unnest(range(0, 20)) AS t(k)
         |GROUP BY source ORDER BY source""".stripMargin,
+    // q102 oracle: the route label per doc_id%8 mode, counted per source
+    "q102_mime_route" ->
+      """SELECT source,
+        | CASE CAST(doc_id % 8 AS INT)
+        |   WHEN 0 THEN 'text/html' WHEN 1 THEN 'application/pdf'
+        |   WHEN 2 THEN 'image/png' WHEN 3 THEN 'image/gif'
+        |   WHEN 4 THEN 'application/zip' WHEN 5 THEN 'application/gzip'
+        |   WHEN 6 THEN 'text/plain'
+        |   ELSE 'application/octet-stream' END AS mime,
+        | CAST(count(*) AS BIGINT) AS n
+        |FROM documents GROUP BY 1, 2 ORDER BY source, mime""".stripMargin,
     // q82 oracle: the WARC serialize→gzip→parse round trip must return
     // exactly the source rows — status injected by the writer, octet
     // length and md5 of the UTF-8 body recomputed from documents.text

@@ -236,6 +236,25 @@ case class SniffCharset(child: Expression) extends UnaryExpression {
     copy(child = c)
 }
 
+/** MIME sniffing over raw payload bytes (magic numbers → markup probe →
+  * NUL scan; see [[graft.core.MimeSniff]]) — the content-type gate
+  * before routing a response to the text pipeline vs the media store. */
+case class SniffMime(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == BinaryType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"sniff_mime expects BINARY, got ${child.dataType.sql}")
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "sniff_mime"
+  override protected def nullSafeEval(v: Any): Any =
+    graft.core.MimeSniff.sniff(v.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.core.MimeSniff.sniff($c)")
+  override protected def withNewChildInternal(c: Expression): SniffMime =
+    copy(child = c)
+}
+
 /** Sniff + BOM-strip + decode raw page bytes to text — the mandatory
   * first step before any text operator on a real (non-all-UTF-8) crawl.
   * Round-trip proven by q98. */

@@ -54,6 +54,10 @@ object gf {
     * [[graft.expr.SniffDecode]]). */
   def sniff_decode(bytes: Column): Column = column(SniffDecode(expression(bytes)))
 
+  /** MIME label of raw payload bytes (magic numbers → markup probe →
+    * NUL scan; see [[graft.expr.SniffMime]]). */
+  def sniff_mime(bytes: Column): Column = column(SniffMime(expression(bytes)))
+
   /** Total Aho-Corasick dictionary hits over the token stream (one pass
     * for any dictionary size; see [[graft.expr.DictHits]]). Entries are
     * lowercase words/phrases. */
