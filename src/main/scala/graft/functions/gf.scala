@@ -179,5 +179,21 @@ object gf {
       es => ExtractText(es.head), "scala_udf")
     reg.createOrReplaceTempFunction("char_overlap_sim",
       es => CharOverlapSim(es(0), es(1)), "scala_udf")
+    reg.createOrReplaceTempFunction("html_to_markdown",
+      es => HtmlToMarkdown(es.head, fit = false), "scala_udf")
+    reg.createOrReplaceTempFunction("unicode_normalize",
+      es => UnicodeNormalize(es.head, "NFC"), "scala_udf")
+    reg.createOrReplaceTempFunction("sniff_charset",
+      es => SniffCharset(es.head), "scala_udf")
+    reg.createOrReplaceTempFunction("sniff_decode",
+      es => SniffDecode(es.head), "scala_udf")
+    reg.createOrReplaceTempFunction("sniff_mime",
+      es => SniffMime(es.head), "scala_udf")
+    reg.createOrReplaceTempFunction("hll_estimate",
+      es => HllEstimate(es.head), "scala_udf")
+    reg.createOrReplaceTempFunction("deflate_ratio",
+      es => DeflateRatio(es.head), "scala_udf")
+    reg.createOrReplaceTempFunction("main_content",
+      es => MainContentExtract(es.head, 10, 0.33), "scala_udf")
   }
 }

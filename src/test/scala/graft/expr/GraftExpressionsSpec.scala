@@ -51,6 +51,15 @@ class GraftExpressionsSpec extends SparkTestBase {
     gf.register(spark)
     val r = spark.sql("SELECT canonicalize_url('EXAMPLE.com/a/../b') AS c").head().getString(0)
     assert(r == "https://example.com/b")
+    val row = spark.sql(
+      s"""SELECT html_to_markdown('<h1>T</h1><p>a <b>b</b></p>') AS md,
+         |  unicode_normalize('café') AS n,
+         |  sniff_mime(CAST('GIF89a..' AS BINARY)) AS m,
+         |  sniff_charset(CAST('plain' AS BINARY)) AS cs""".stripMargin).head()
+    assert(row.getString(0) == "# T\n\na **b**")
+    assert(row.getString(1) == "caf\u00E9")
+    assert(row.getString(2) == "image/gif")
+    assert(row.getString(3) == "utf-8")
   }
 
   test("expressions survive filters/joins in codegen'd plans") {
