@@ -1,0 +1,82 @@
+package graft
+
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+
+/**
+ * Static plan guard over EVERY driver query: the PLANS_rN.md grep
+ * verdict as a permanent regression test instead of a per-round manual
+ * audit. Each query's DataFrame is built against sf0.001 and its
+ * STATIC physical plan walked (queries that execute driver actions
+ * during construction — crawl rounds, k-means seeding, CC loops — run
+ * them at the tiny scale; that is the price of auditing real plans).
+ *
+ * Allowed exceptions, each named and justified:
+ *  - BroadcastNestedLoopJoin ONLY as `crossJoin` of a 1-ROW aggregate
+ *    (corpus totals / stage counters / normalizers kept in-plan instead
+ *    of collected to the driver — grep `crossJoin` in src: every site
+ *    joins a single-row agg). A BNLJ with a non-singleton build side
+ *    cannot arise from these, and any NEW one fails by name.
+ *  - SortMergeJoin ONLY where it is the robust STATIC choice and AQE
+ *    re-plans at runtime: the full-outer snapshot equi-joins (SMJ is
+ *    the safe full-outer strategy at 10^10 rows) and the deliberately
+ *    UNHINTED dup-set joins (VERDICT r2: forcing broadcast on an
+ *    unbounded drop set is the scale bug; leaving the hint off means
+ *    the static plan says SMJ and AQE picks broadcast/SHJ when the set
+ *    fits — that static SMJ is the documented intent, not a
+ *    regression).
+ *  - CartesianProduct: never.
+ */
+class PlanGuardSpec extends SparkTestBase {
+
+  /** 1-row-aggregate crossJoin scalars (in-plan totals, never collected). */
+  private val oneRowCrossJoinAllowed = Set(
+    "q36_classify",        // keyword-total scalar
+    "q38_validation",      // validation-summary totals
+    "q41_prep_pipeline",   // per-stage yield counters (TextPipeline.report)
+    "q42_incremental_dedup", // incremental-vs-one-shot stage counters
+    "q52_prep_stack",      // six stage counters (PrepStack.scala:100-105)
+    "q54_tfidf",           // doc-count N for idf (Tfidf.scala:38)
+    "q55_unigram_nll",     // corpus token total (Tfidf.scala:71)
+    "q59_recrawl_plan",    // plan summary totals
+    "q63_dsir",            // target/raw model totals (Dsir.scala:84,89)
+    "q64_semantic_decon",  // bench-blob norm scalar
+    "q69_temperature_mix", // mixture normalizer scalar (Sampling.scala:111)
+    "q78_bigram_nll"       // unigram total (Tfidf.scala:124)
+  )
+
+  /** Static SMJ where AQE re-plans at runtime (see scaladoc). */
+  private val staticSmjAllowed = Set(
+    "q56_cluster_best",     // unhinted survivor anti-join vs unbounded dup set
+    "q58_snapshot_diff",    // full-outer equi-join on id
+    "q66_leakfree_split",   // q48 CC + unhinted component join
+    "q72_recrawl_interval"  // multi-snapshot full-outer diff chain
+  )
+
+  private def walk(p: SparkPlan): Seq[SparkPlan] = p match {
+    case a: AdaptiveSparkPlanExec => a.initialPlan +: walk(a.initialPlan)
+    case _ => p +: (p.children.flatMap(walk) ++
+      p.subqueries.flatMap(s => s +: walk(s)))
+  }
+
+  test("no CartesianProduct; SMJ/BNLJ only on documented patterns — every driver query") {
+    val dir = "/root/testdata/sf0.001"
+    val violations = scala.collection.mutable.ArrayBuffer.empty[String]
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      try {
+        val df = fn(spark, dir)
+        val nodes = walk(df.queryExecution.executedPlan).map(_.nodeName).toSet
+        if (nodes.exists(_.contains("CartesianProduct")))
+          violations += s"$name: CartesianProduct"
+        if (nodes.exists(_.contains("SortMergeJoin")) && !staticSmjAllowed(name))
+          violations += s"$name: undocumented SortMergeJoin"
+        if (nodes.exists(_.contains("BroadcastNestedLoopJoin")) &&
+          !oneRowCrossJoinAllowed(name))
+          violations += s"$name: undocumented BroadcastNestedLoopJoin"
+      } catch {
+        case e: Exception => violations += s"$name: plan build failed: ${e.getMessage}"
+      }
+    }
+    assert(violations.isEmpty, violations.mkString("\n"))
+  }
+}
