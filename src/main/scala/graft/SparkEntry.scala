@@ -1493,6 +1493,25 @@ object SparkEntry {
         .select(col("source"), gf.sniff_mime(payload).as("mime"))
         .groupBy("source", "mime").agg(count(lit(1)).as("n"))
         .orderBy("source", "mime")
+    }),
+
+    "q103_hits" -> ((s, dir) => { // HITS hubs & authorities
+      // the listing-vs-detail link-quality signal on the same synthetic
+      // graph as q76 (docs with id%10==7 dangling); the oracle unrolls
+      // the identical 4 normalized iterations in SQL.
+      val nodes = T(s, dir, "documents").select("doc_id")
+      val nRow = broadcast(nodes.agg(count(lit(1)).as("__n")))
+      val edges = nodes.crossJoin(nRow)
+        .filter(pmod(col("doc_id"), lit(10)) =!= 7)
+        .select(col("doc_id").as("src"),
+          explode(array(lit(1L), lit(2L), lit(3L))).as("j"), col("__n"))
+        .select(col("src"),
+          pmod(col("src") * lit(17L) + col("j") * lit(31L), col("__n")).as("dst"))
+      graph.Hits.run(nodes, "doc_id", edges, "src", "dst", iters = 4)
+        .select(col("doc_id"),
+          round(col("authority"), 7).as("authority"),
+          round(col("hub"), 7).as("hub"))
+        .orderBy("doc_id")
     })
   )
 
@@ -1843,6 +1862,37 @@ object SparkEntry {
     * folds ((1 - 0.85), 0.85), and every division is on exact integer
     * counts, so the only cross-engine drift is double sum order (~1e-16,
     * far under the 7-dp rounding). */
+  /** q103 oracle: 4 HITS iterations unrolled — per direction one
+    * edge⋈score join + agg, then L2 normalization via a scalar
+    * subquery; MATERIALIZED CTEs (the q86 DuckDB-inlining lesson). */
+  private def q103OracleSql: String = {
+    val iters = (1 to 4).map { k =>
+      val h = s"h${k - 1}"
+      s"""ar$k AS MATERIALIZED (
+         | SELECT ids.id, coalesce(t.s, 0) AS v FROM ids LEFT JOIN (
+         |   SELECT e.dst AS id, sum(x.v) AS s FROM e JOIN $h x ON e.src = x.id
+         |   GROUP BY e.dst) t USING (id)),
+         |a$k AS MATERIALIZED (
+         | SELECT id, v / sqrt((SELECT sum(v*v) FROM ar$k)) AS v FROM ar$k),
+         |hr$k AS MATERIALIZED (
+         | SELECT ids.id, coalesce(t.s, 0) AS v FROM ids LEFT JOIN (
+         |   SELECT e.src AS id, sum(x.v) AS s FROM e JOIN a$k x ON e.dst = x.id
+         |   GROUP BY e.src) t USING (id)),
+         |h$k AS MATERIALIZED (
+         | SELECT id, v / sqrt((SELECT sum(v*v) FROM hr$k)) AS v FROM hr$k)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH ids AS (SELECT doc_id AS id FROM documents),
+       |e AS (SELECT id AS src,
+       |   (id*17 + v.j*31) % (SELECT count(*) FROM ids) AS dst
+       |  FROM ids, (VALUES (1), (2), (3)) v(j) WHERE id % 10 <> 7),
+       |h0 AS (SELECT id, 1.0 AS v FROM ids),
+       |$iters
+       |SELECT ids.id AS doc_id, round(a4.v, 7) AS authority,
+       | round(h4.v, 7) AS hub
+       |FROM ids JOIN a4 USING (id) JOIN h4 USING (id)
+       |ORDER BY doc_id""".stripMargin
+  }
+
   private def q76OracleSql: String = {
     val iters = (1 to 5).map { k =>
       val p = s"r${k - 1}"
@@ -2180,6 +2230,7 @@ object SparkEntry {
     // both engines round the final rank to 7 dp (double sum-order ulps
     // are ~1e-16, nine orders below the rounding grain)
     "q76_pagerank" -> q76OracleSql,
+    "q103_hits" -> q103OracleSql,
     // q77 oracle: ordered string_agg reproduces the capped posting string
     // byte-for-byte; CAST sum→BIGINT (DuckDB sum(BIGINT) is HUGEINT)
     "q77_inverted_index" ->
