@@ -53,8 +53,13 @@ object Hits {
       auth = halfStep(hub, joinKey = "src", groupKey = "dst")
       hub = halfStep(auth, joinKey = "dst", groupKey = "src")
     }
-    ids.join(auth.withColumnRenamed("v", "authority"), Seq("id"), "left")
-      .join(hub.withColumnRenamed("v", "hub"), Seq("id"), "left")
+    // shuffle-hash like the iteration joins: both sides O(N) on a random
+    // 64-bit id — sorting buys nothing (the J7 convention; PlanGuardSpec
+    // flags the unhinted form as a static SortMergeJoin)
+    ids.join(auth.withColumnRenamed("v", "authority").hint("shuffle_hash"),
+        Seq("id"), "left")
+      .join(hub.withColumnRenamed("v", "hub").hint("shuffle_hash"),
+        Seq("id"), "left")
       .select(col("id").as(idCol), col("authority"), col("hub"))
   }
 }
