@@ -1512,6 +1512,31 @@ object SparkEntry {
           round(col("authority"), 7).as("authority"),
           round(col("hub"), 7).as("hub"))
         .orderBy("doc_id")
+    }),
+
+    "q104_site_clusters" -> ((s, dir) => { // mirror-site cluster discovery
+      // syndication/mirror detection at the SOURCE level: connected
+      // components over the q92 cross-source 3-gram overlap graph
+      // (edges = pairs with ROUNDED jaccard ≥ τ — the rounded-gate
+      // lesson; the ratio itself is exact integer division so both
+      // engines agree bit-for-bit). CC is the same alternating
+      // large-star/small-star loop as q48; singleton hosts keep their
+      // own id. Oracle = q92's SQL matrix + a recursive-CTE CC.
+      val m = TextOps.sourceOverlapMatrix(
+        T(s, dir, "documents").select("source", "text"), "source", "text", n = 3)
+      val edges = m.filter(col("jaccard") >= 0.04)
+        .select(expr("CAST(substring(src_a, 4) AS LONG)").as("idA"),
+          expr("CAST(substring(src_b, 4) AS LONG)").as("idB"))
+      val comp = DupClusters.components(edges)
+      val hosts = T(s, dir, "documents").select("source").distinct()
+        .withColumn("id", expr("CAST(substring(source, 4) AS LONG)"))
+      hosts.join(comp.hint("shuffle_hash"), Seq("id"), "left")
+        .select(col("source"),
+          coalesce(col("component"), col("id")).as("component"))
+        .groupBy("component")
+        .agg(count(lit(1)).as("n_hosts"),
+          array_join(array_sort(collect_list(col("source"))), "|").as("hosts"))
+        .orderBy("component")
     })
   )
 
@@ -2231,6 +2256,35 @@ object SparkEntry {
     // are ~1e-16, nine orders below the rounding grain)
     "q76_pagerank" -> q76OracleSql,
     "q103_hits" -> q103OracleSql,
+    // q104 oracle: the q92 overlap matrix in SQL, thresholded on the
+    // ROUNDED jaccard, then a recursive-CTE connected components with
+    // min-id labels; singleton hosts label themselves
+    "q104_site_clusters" ->
+      s"""WITH RECURSIVE
+         |w AS (SELECT source, $duckWords AS words FROM documents),
+         |g AS (SELECT DISTINCT source, array_to_string(words[i:i+2], ' ') AS g
+         |  FROM w, unnest(range(1, len(words) - 1)) AS t(i)),
+         |c AS (SELECT source, count(*) AS n FROM g GROUP BY source),
+         |sh AS (SELECT a.source AS sa, b.source AS sb, count(*) AS shared
+         |  FROM g a JOIN g b ON a.g = b.g AND a.source < b.source
+         |  GROUP BY 1, 2),
+         |p AS (SELECT CAST(substring(sa, 4) AS BIGINT) AS u,
+         |    CAST(substring(sb, 4) AS BIGINT) AS v
+         |  FROM sh JOIN c ca ON ca.source = sh.sa JOIN c cb ON cb.source = sh.sb
+         |  WHERE round(CAST(shared AS DOUBLE) / (ca.n + cb.n - shared), 6) >= 0.04),
+         |e AS (SELECT u, v FROM p UNION ALL SELECT v, u FROM p),
+         |r(id, lbl) AS (
+         |  SELECT DISTINCT u, u FROM e
+         |  UNION
+         |  SELECT e.u, r.lbl FROM e JOIN r ON r.id = e.v),
+         |comp AS (SELECT id, min(lbl) AS component FROM r GROUP BY id),
+         |hosts AS (SELECT source, CAST(substring(source, 4) AS BIGINT) AS id
+         |  FROM documents GROUP BY 1, 2)
+         |SELECT coalesce(comp.component, hosts.id) AS component,
+         |  CAST(count(*) AS BIGINT) AS n_hosts,
+         |  string_agg(source, '|' ORDER BY source) AS hosts
+         |FROM hosts LEFT JOIN comp USING (id)
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
     // q77 oracle: ordered string_agg reproduces the capped posting string
     // byte-for-byte; CAST sum→BIGINT (DuckDB sum(BIGINT) is HUGEINT)
     "q77_inverted_index" ->
