@@ -1537,6 +1537,32 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_hosts"),
           array_join(array_sort(collect_list(col("source"))), "|").as("hosts"))
         .orderBy("component")
+    }),
+
+    "q105_readability" -> ((s, dir) => { // Flesch reading-ease gate
+      // the classic readability quality signal (Flesch 1948; used as a
+      // cheap gate next to Gopher rules): vowel-group syllable counting
+      // + sentence splitting, all pure codegen'd column HOFs — one text
+      // pass, zero shuffle; identical integer counts + IEEE arithmetic
+      // reproduce the score bit-for-bit in DuckDB (rounded 4dp).
+      val ws = TextOps.words(col("text"))
+      val nWords = size(ws).cast("long")
+      val nSyl = aggregate(
+        transform(ws, w =>
+          size(regexp_extract_all(w, lit("[aeiouy]+"), lit(0)))),
+        lit(0), (a, x) => a + x).cast("long")
+      val nSent = greatest(lit(1),
+        size(regexp_extract_all(col("text"), lit("[.!?]+"), lit(0)))).cast("long")
+      T(s, dir, "documents")
+        .select(col("doc_id"), nWords.as("n_words"),
+          nSyl.as("n_syllables"), nSent.as("n_sentences"))
+        .filter(col("n_words") > 0)
+        .withColumn("flesch", round(
+          lit(206.835)
+            - lit(1.015) * (col("n_words").cast("double") / col("n_sentences"))
+            - lit(84.6) * (col("n_syllables").cast("double") / col("n_words")),
+          4))
+        .orderBy("doc_id")
     })
   )
 
@@ -2285,6 +2311,24 @@ object SparkEntry {
          |  string_agg(source, '|' ORDER BY source) AS hosts
          |FROM hosts LEFT JOIN comp USING (id)
          |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // q105 oracle: identical vowel-group syllable counts, sentence
+    // splits, and the Flesch formula with the same literals — exact
+    // integer inputs, IEEE-identical doubles, rounded 4dp
+    "q105_readability" ->
+      s"""WITH w AS (SELECT doc_id, text, $duckWords AS words FROM documents),
+         |s AS (SELECT doc_id,
+         |  CAST(len(words) AS BIGINT) AS n_words,
+         |  CAST(list_sum(list_transform(words,
+         |    x -> len(regexp_extract_all(x, '[aeiouy]+')))) AS BIGINT)
+         |    AS n_syllables,
+         |  CAST(greatest(1, len(regexp_extract_all(text, '[.!?]+')))
+         |    AS BIGINT) AS n_sentences
+         |FROM w)
+         |SELECT doc_id, n_words, n_syllables, n_sentences,
+         |  round(206.835
+         |    - 1.015 * (CAST(n_words AS DOUBLE) / n_sentences)
+         |    - 84.6 * (CAST(n_syllables AS DOUBLE) / n_words), 4) AS flesch
+         |FROM s WHERE n_words > 0 ORDER BY doc_id""".stripMargin,
     // q77 oracle: ordered string_agg reproduces the capped posting string
     // byte-for-byte; CAST sum→BIGINT (DuckDB sum(BIGINT) is HUGEINT)
     "q77_inverted_index" ->
