@@ -1563,6 +1563,35 @@ object SparkEntry {
             - lit(84.6) * (col("n_syllables").cast("double") / col("n_words")),
           4))
         .orderBy("doc_id")
+    }),
+
+    "q106_rank_priority" -> ((s, dir) => { // PageRank-budgeted frontier
+      // the graph→frontier composition: global PageRank (q76 graph)
+      // joined back onto the per-host frontier, top-3 docs per source
+      // by rank — "spend the fetch budget on globally-linked pages",
+      // the signal beyond per-URL scores. Window rank ties broken on
+      // the ROUNDED rank (the q54 lesson) then doc_id.
+      val docs = T(s, dir, "documents")
+      val nodes = docs.select("doc_id")
+      val nRow = broadcast(nodes.agg(count(lit(1)).as("__n")))
+      val edges = nodes.crossJoin(nRow)
+        .filter(pmod(col("doc_id"), lit(10)) =!= 7)
+        .select(col("doc_id").as("src"),
+          explode(array(lit(1L), lit(2L), lit(3L))).as("j"), col("__n"))
+        .select(col("src"),
+          pmod(col("src") * lit(17L) + col("j") * lit(31L), col("__n")).as("dst"))
+      val ranks = graph.PageRank.run(nodes, "doc_id", edges, "src", "dst",
+          damping = 0.85, iters = 5)
+        .select(col("doc_id"), round(col("pagerank"), 7).as("pr"))
+      val w = Window.partitionBy("source")
+        .orderBy(col("pr").desc, col("doc_id").asc)
+      docs.select("doc_id", "source")
+        .join(ranks.hint("shuffle_hash"), Seq("doc_id"))
+        .withColumn("host_rank", row_number().over(w))
+        .filter(col("host_rank") <= 3)
+        .select(col("source"), col("host_rank").cast("long").as("host_rank"),
+          col("doc_id"), col("pr").as("pagerank"))
+        .orderBy("source", "host_rank")
     })
   )
 
@@ -1944,7 +1973,9 @@ object SparkEntry {
        |ORDER BY doc_id""".stripMargin
   }
 
-  private def q76OracleSql: String = {
+  /** Shared q76/q106 CTE prefix: the synthetic graph + 5 unrolled
+    * PageRank power iterations ending in `r5`. */
+  private def pagerankCte: String = {
     val iters = (1 to 5).map { k =>
       val p = s"r${k - 1}"
       s"""r$k AS (
@@ -1966,10 +1997,26 @@ object SparkEntry {
        |  FROM ids, (VALUES (1), (2), (3)) v(j) WHERE id % 10 <> 7),
        |deg AS (SELECT src, count(*)::DOUBLE AS d FROM e GROUP BY src),
        |r0 AS (SELECT id, 1.0/(SELECT n FROM nn) AS r FROM ids),
-       |$iters
+       |$iters""".stripMargin
+  }
+
+  private def q76OracleSql: String =
+    s"""$pagerankCte
        |SELECT id AS doc_id, round(r, 7) AS pagerank FROM r5
        |ORDER BY doc_id""".stripMargin
-  }
+
+  /** q106 oracle: the q76 ranks windowed per source — top-3 by the
+    * ROUNDED rank (the q54 tie-break lesson), doc_id ascending. */
+  private def q106OracleSql: String =
+    s"""$pagerankCte,
+       |pr AS (SELECT id AS doc_id, round(r, 7) AS pr FROM r5),
+       |j AS (SELECT d.source, d.doc_id, pr.pr,
+       |   row_number() OVER (PARTITION BY d.source
+       |     ORDER BY pr.pr DESC, d.doc_id) AS host_rank
+       | FROM documents d JOIN pr USING (doc_id))
+       |SELECT source, CAST(host_rank AS BIGINT) AS host_rank, doc_id,
+       |  pr AS pagerank
+       |FROM j WHERE host_rank <= 3 ORDER BY source, host_rank""".stripMargin
 
   /** Shared q86/q87 oracle prefix: word counts, char-split init, and
     * `k` UNROLLED BPE merge iterations. Each iteration recomputes the
@@ -2282,6 +2329,7 @@ object SparkEntry {
     // are ~1e-16, nine orders below the rounding grain)
     "q76_pagerank" -> q76OracleSql,
     "q103_hits" -> q103OracleSql,
+    "q106_rank_priority" -> q106OracleSql,
     // q104 oracle: the q92 overlap matrix in SQL, thresholded on the
     // ROUNDED jaccard, then a recursive-CTE connected components with
     // min-id labels; singleton hosts label themselves
