@@ -14,6 +14,11 @@ run / fork := true
 // Forked-run output passes through UNPREFIXED (no "[info] ") so the
 // driver can json-parse the one metric line Bench prints to stdout.
 run / outputStrategy := Some(StdoutOutput)
+// No "[success] Total time" trailer on stdout: the driver keeps only the
+// last 2000 chars and json-parses the final line — Bench's metric JSON
+// must be the LAST thing on fd 1 (round-3 BENCH parsed=null post-mortem).
+Global / showSuccess := false
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

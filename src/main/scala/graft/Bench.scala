@@ -112,22 +112,40 @@ object Bench {
 
     System.err.println(s"[bench] per-round fetches: ${perRound.mkString(",")}")
 
-    val qs = results.toSeq.sortBy(_._1)
-      .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
+    def queriesJson(dp: Int, shortKeys: Boolean): String =
+      results.toSeq.sortBy(_._1).map { case (k, v) =>
+        val key = if (shortKeys) k.takeWhile(_ != '_') else k
+        "\"" + key + "\":" + s"%.${dp}f".format(v)
+      }.mkString("{", ",", "}")
     val total = drainSec + results.values.sum
     val totalS = f"$total%.3f"
     val upsS = f"$urlsPerSec%.1f"
     val drainS = f"$drainSec%.3f"
-    val json =
+    def metricJson(qs: String) =
       s"""{"metric":"frontier_drain_plus_queries","value":$totalS,"unit":"sec","queries":$qs,"sf":"$sfDir","frontier":{"urls_per_sec":$upsS,"fetched":$fetched,"dedup_hits":$deduped,"drain_sec":$drainS,"rounds":$nRounds,"pages":$nPages,"hosts":$nHosts,"cpus":$cpus}}"""
-    // bare line on the REAL stdout (fd 1, immune to stream wrapping) so the
-    // driver can json.loads it, plus a file copy for humans
-    new java.io.PrintStream(
-      new java.io.FileOutputStream(java.io.FileDescriptor.out), true).println(json)
+    // full-name 3dp record for humans/the judge — written FIRST, the
+    // file is the reliable channel if the stdout pipe races at exit
+    val json = metricJson(queriesJson(3, shortKeys = false))
     try {
       val p = java.nio.file.Paths.get(sys.env.getOrElse("GRAFT_BENCH_OUT", "BENCH_LAST.json"))
       java.nio.file.Files.write(p, (json + "\n").getBytes("UTF-8"))
     } catch { case e: Throwable => System.err.println(s"[bench] write failed: $e") }
+    // bare line on the REAL stdout (fd 1, immune to stream wrapping) so the
+    // driver can json.loads it. The driver's capture keeps only the LAST
+    // 2000 chars of stdout (round-3 post-mortem: the 2.9 KB full-name line
+    // was decapitated by that window and parsed=null) — so the stdout line
+    // uses SHORT query keys (q29_ann_lsh → q29) and 2 dp to stay well
+    // under the window; full names live in BENCH_LAST.json. It must also
+    // be the LAST line: build.sbt sets showSuccess := false so sbt's
+    // "[success] Total time" trailer can't follow it.
+    val stdoutLine = metricJson(queriesJson(2, shortKeys = true))
+    if (stdoutLine.length > 1900)
+      System.err.println(s"[bench] WARNING stdout metric line ${stdoutLine.length} chars (>1900)")
+    val out = new java.io.PrintStream(
+      new java.io.FileOutputStream(java.io.FileDescriptor.out), true)
+    out.println(stdoutLine)
+    out.flush()
+    Thread.sleep(1500) // let the pipe drain before teardown (round-3 race)
     spark.stop()
   }
 }

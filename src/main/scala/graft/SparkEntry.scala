@@ -36,6 +36,31 @@ object SparkEntry {
   private val docUrlSql =
     "concat('https://', source, '.example.com/', lang, '/doc-', doc_id)"
 
+  /** Synthetic link graph over the doc ids (q76/q103/q106): docs with
+    * id%10==7 are dangling; every other doc links to
+    * md5_60bit("id:j") mod N for j in {1,2,3}. Hash-mixed — never raw
+    * multiply-add, which Spark 4 ANSI overflow-throws on large ids —
+    * using the same engine-portable md5 60-bit idiom as the simhash
+    * pipeline, so the DuckDB oracles recompute the identical edge set. */
+  private def synthGraphEdges(nodes: DataFrame): DataFrame = {
+    val nRow = broadcast(nodes.agg(count(lit(1)).as("__n")))
+    nodes.crossJoin(nRow)
+      .filter(pmod(col("doc_id"), lit(10)) =!= 7)
+      .select(col("doc_id").as("src"),
+        explode(array(lit(1L), lit(2L), lit(3L))).as("j"), col("__n"))
+      .select(col("src"),
+        pmod(graft.dedup.NearDup.md5TokenHash(
+          concat(col("src").cast("string"), lit(":"), col("j").cast("string"))),
+          col("__n")).as("dst"))
+  }
+
+  /** DuckDB mirror of [[synthGraphEdges]] — expects an `ids(id)` CTE. */
+  private val synthEdgeSql =
+    """e AS (SELECT id AS src,
+      |   CAST('0x' || substring(md5(id::VARCHAR || ':' || v.j::VARCHAR), 1, 15)
+      |        AS BIGINT) % (SELECT count(*) FROM ids) AS dst
+      |  FROM ids, (VALUES (1), (2), (3)) v(j) WHERE id % 10 <> 7)""".stripMargin
+
   /** words: lowercase letter runs, empties dropped (matches TextOps.words). */
   private val wordsSql =
     "list_filter(regexp_split_to_array(lower(text), '[^a-z]+'), w -> w <> '')"
@@ -98,6 +123,9 @@ object SparkEntry {
     }),
 
     "q06_batch_assign" -> ((s, dir) => { // W6: batch-id assignment window
+      // UNPARTITIONED window = single-partition global sort: fine ONLY
+      // under the reference's chains <= 10,000 bound (csv_processor.py:68)
+      // this query mirrors; PlanGuardSpec allowlists it by name.
       val rn = row_number().over(Window.orderBy("c_custkey"))
       T(s, dir, "customer")
         .withColumn("batch_id", floor((rn - 1) / 100.0).cast("long"))
@@ -938,16 +966,10 @@ object SparkEntry {
     "q76_pagerank" -> ((s, dir) => { // link-graph PageRank (frontier priority signal)
       // deterministic directed graph over the doc ids: docs with id%10==7
       // are dangling (exercise the dangling-mass path); every other doc
-      // links to (id*17 + j*31) mod N for j ∈ {1,2,3}. The oracle unrolls
-      // the identical 5 power iterations in SQL.
+      // links to md5_60bit("id:j") mod N for j ∈ {1,2,3}. The oracle
+      // unrolls the identical 5 power iterations in SQL.
       val nodes = T(s, dir, "documents").select("doc_id")
-      val nRow = broadcast(nodes.agg(count(lit(1)).as("__n")))
-      val edges = nodes.crossJoin(nRow)
-        .filter(pmod(col("doc_id"), lit(10)) =!= 7)
-        .select(col("doc_id").as("src"),
-          explode(array(lit(1L), lit(2L), lit(3L))).as("j"), col("__n"))
-        .select(col("src"),
-          pmod(col("src") * lit(17L) + col("j") * lit(31L), col("__n")).as("dst"))
+      val edges = synthGraphEdges(nodes)
       graph.PageRank.run(nodes, "doc_id", edges, "src", "dst",
           damping = 0.85, iters = 5)
         .select(col("doc_id"), round(col("pagerank"), 7).as("pagerank"))
@@ -1500,13 +1522,7 @@ object SparkEntry {
       // graph as q76 (docs with id%10==7 dangling); the oracle unrolls
       // the identical 4 normalized iterations in SQL.
       val nodes = T(s, dir, "documents").select("doc_id")
-      val nRow = broadcast(nodes.agg(count(lit(1)).as("__n")))
-      val edges = nodes.crossJoin(nRow)
-        .filter(pmod(col("doc_id"), lit(10)) =!= 7)
-        .select(col("doc_id").as("src"),
-          explode(array(lit(1L), lit(2L), lit(3L))).as("j"), col("__n"))
-        .select(col("src"),
-          pmod(col("src") * lit(17L) + col("j") * lit(31L), col("__n")).as("dst"))
+      val edges = synthGraphEdges(nodes)
       graph.Hits.run(nodes, "doc_id", edges, "src", "dst", iters = 4)
         .select(col("doc_id"),
           round(col("authority"), 7).as("authority"),
@@ -1573,13 +1589,7 @@ object SparkEntry {
       // the ROUNDED rank (the q54 lesson) then doc_id.
       val docs = T(s, dir, "documents")
       val nodes = docs.select("doc_id")
-      val nRow = broadcast(nodes.agg(count(lit(1)).as("__n")))
-      val edges = nodes.crossJoin(nRow)
-        .filter(pmod(col("doc_id"), lit(10)) =!= 7)
-        .select(col("doc_id").as("src"),
-          explode(array(lit(1L), lit(2L), lit(3L))).as("j"), col("__n"))
-        .select(col("src"),
-          pmod(col("src") * lit(17L) + col("j") * lit(31L), col("__n")).as("dst"))
+      val edges = synthGraphEdges(nodes)
       val ranks = graph.PageRank.run(nodes, "doc_id", edges, "src", "dst",
           damping = 0.85, iters = 5)
         .select(col("doc_id"), round(col("pagerank"), 7).as("pr"))
@@ -1962,9 +1972,7 @@ object SparkEntry {
          | SELECT id, v / sqrt((SELECT sum(v*v) FROM hr$k)) AS v FROM hr$k)""".stripMargin
     }.mkString(",\n")
     s"""WITH ids AS (SELECT doc_id AS id FROM documents),
-       |e AS (SELECT id AS src,
-       |   (id*17 + v.j*31) % (SELECT count(*) FROM ids) AS dst
-       |  FROM ids, (VALUES (1), (2), (3)) v(j) WHERE id % 10 <> 7),
+       |$synthEdgeSql,
        |h0 AS (SELECT id, 1.0 AS v FROM ids),
        |$iters
        |SELECT ids.id AS doc_id, round(a4.v, 7) AS authority,
@@ -1992,9 +2000,7 @@ object SparkEntry {
     }.mkString(",\n")
     s"""WITH nn AS (SELECT count(*)::DOUBLE AS n FROM documents),
        |ids AS (SELECT doc_id AS id FROM documents),
-       |e AS (SELECT id AS src,
-       |   (id*17 + v.j*31) % (SELECT count(*) FROM ids) AS dst
-       |  FROM ids, (VALUES (1), (2), (3)) v(j) WHERE id % 10 <> 7),
+       |$synthEdgeSql,
        |deg AS (SELECT src, count(*)::DOUBLE AS d FROM e GROUP BY src),
        |r0 AS (SELECT id, 1.0/(SELECT n FROM nn) AS r FROM ids),
        |$iters""".stripMargin
@@ -2323,7 +2329,7 @@ object SparkEntry {
         |  WHERE c.host = bl.domain OR c.host LIKE '%.' || bl.domain)
         |ORDER BY doc_id""".stripMargin,
     // q76 oracle: the identical graph (id%10==7 dangling, else 3 edges to
-    // (id*17 + j*31) mod N) through 5 UNROLLED power iterations — damping,
+    // md5_60bit("id:j") mod N) through 5 UNROLLED power iterations — damping,
     // dangling-mass redistribution, and teleport all recomputed in SQL;
     // both engines round the final rank to 7 dp (double sum-order ulps
     // are ~1e-16, nine orders below the rounding grain)

@@ -38,12 +38,18 @@ object CharsetSniff {
   }
 
   /** ASCII-compatible scan of the first 1024 bytes for a meta charset
-    * declaration; returns the lowercased label or null. */
+    * declaration; returns the lowercased label or null. The `charset=`
+    * scan is anchored INSIDE `<meta ...>` tags only (WHATWG restricts
+    * the prescan to meta tags) — a stray "charset=" in visible text, a
+    * query string, or a comment must not override UTF-8 detection. */
   private def metaCharset(b: Array[Byte]): String = {
     val n = math.min(b.length, 1024)
     val head = new String(b, 0, n, StandardCharsets.ISO_8859_1).toLowerCase
+    val metaTag = "<meta[^>]*>".r
     val m1 = "charset\\s*=\\s*[\"']?([a-z0-9_-]+)".r
-    m1.findFirstMatchIn(head).map(_.group(1)).orNull
+    metaTag.findAllMatchIn(head)
+      .flatMap(t => m1.findFirstMatchIn(t.matched).map(_.group(1)))
+      .nextOption().orNull
   }
 
   /** Strict UTF-8 validity check, single pass, no allocation. */

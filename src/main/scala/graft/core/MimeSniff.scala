@@ -54,6 +54,23 @@ object MimeSniff {
     if (startsWith(b, 0, '%', 'P', 'D', 'F', '-')) return "application/pdf"
     if (startsWith(b, 0, 'P', 'K', 0x03, 0x04)) return "application/zip"
     if (startsWith(b, 0, 0x1F, 0x8B)) return "application/gzip"
+    // UTF-16 BOM before the binary scan (WHATWG checks FF FE / FE FF up
+    // front): the 0x00 bytes of UTF-16 text would otherwise trip the NUL
+    // scan and mislabel BOM'd HTML/text as octet-stream. Probe markup on
+    // a UTF-16 decode of the prefix, then default to text/plain.
+    val utf16 =
+      if (startsWith(b, 0, 0xFF, 0xFE)) "UTF-16LE"
+      else if (startsWith(b, 0, 0xFE, 0xFF)) "UTF-16BE"
+      else null
+    if (utf16 != null) {
+      val n16 = math.min(b.length - 2, 64) & ~1
+      val head16 = new String(b, 2, n16, java.nio.charset.Charset.forName(utf16))
+        .toLowerCase.dropWhile(c => c == ' ' || c == '\t' || c == '\r' || c == '\n')
+      if (head16.startsWith("<!doctype html") || head16.startsWith("<html"))
+        return "text/html"
+      if (head16.startsWith("<?xml")) return "application/xml"
+      return "text/plain"
+    }
     // markup probes: skip UTF-8 BOM + ASCII whitespace
     var off = if (startsWith(b, 0, 0xEF, 0xBB, 0xBF)) 3 else 0
     while (off < b.length && (b(off) == ' ' || b(off) == '\t' ||

@@ -42,8 +42,11 @@ object Hits {
         .select(col("id"), coalesce(col("s"), lit(0.0)).as("v"))
       // L2 norm as an in-plan 1-row aggregate (the PageRank N pattern)
       val norm = broadcast(raw.agg(sqrt(sum(col("v") * col("v"))).as("__norm")))
+      // zero guard: an edgeless graph (or an all-zero direction) has
+      // norm 0 — scores must become 0.0, not NaN/null
       raw.crossJoin(norm)
-        .select(col("id"), (col("v") / col("__norm")).as("v"))
+        .select(col("id"), (col("v") /
+          greatest(col("__norm"), lit(java.lang.Double.MIN_VALUE))).as("v"))
         .transform(ck)
     }
 

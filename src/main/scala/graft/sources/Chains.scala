@@ -66,7 +66,11 @@ object Chains {
         .otherwise(regexp_extract(col("estimated_facilities"), "(\\d+)", 1))
         .cast("long")).as("estimated_total"))
 
-  /** W6: deterministic batch slicing (csv_processor.py:144-150). */
+  /** W6: deterministic batch slicing (csv_processor.py:144-150).
+    * UNPARTITIONED window = single-partition global sort — acceptable
+    * ONLY under the reference's input bound of chains <= 10,000 rows
+    * (csv_processor.py:68); never apply this to page/frontier-scale
+    * tables. PlanGuardSpec flags any new unpartitioned Window. */
   def withBatchId(chains: DataFrame, batchSize: Int): DataFrame = {
     val w = Window.orderBy(col("priority").asc, col("corporation_name").asc)
     chains.withColumn("batch_id",

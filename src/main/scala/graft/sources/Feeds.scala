@@ -89,12 +89,20 @@ object Feeds {
   }
 
   /** CDATA unwrap + entity decode for a captured `<title>` body —
-    * `&amp;` decoded LAST (else `&amp;lt;` over-decodes). */
+    * `&amp;` decoded LAST (else `&amp;lt;` over-decodes). Decoded
+    * entity subset: the five XML named entities (`&lt; &gt; &quot;
+    * &apos; &amp;`) plus the decimal quote forms `&#34;`/`&#39;`.
+    * Arbitrary numeric character references pass through verbatim —
+    * a documented bound of the tolerant-source contract, not a parse
+    * failure. */
   private def decodeTitle(t: org.apache.spark.sql.Column) = {
+    val named = Seq("&lt;" -> "<", "&gt;" -> ">",
+      "&quot;" -> "\"", "&#34;" -> "\"", "&apos;" -> "'", "&#39;" -> "'")
     val unwrapped = when(t.startsWith("<![CDATA[") && t.endsWith("]]>"),
       t.substr(lit(10), length(t) - 12)).otherwise(
-      regexp_replace(regexp_replace(regexp_replace(t,
-        "&lt;", "<"), "&gt;", ">"), "&amp;", "&"))
+      regexp_replace(named.foldLeft(t) { case (e, (from, to)) =>
+        regexp_replace(e, from, to)
+      }, "&amp;", "&"))
     unwrapped
   }
 

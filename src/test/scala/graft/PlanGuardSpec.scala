@@ -53,6 +53,13 @@ class PlanGuardSpec extends SparkTestBase {
     "q72_recrawl_interval"  // multi-snapshot full-outer diff chain
   )
 
+  /** UNPARTITIONED Window (= single-partition global sort) ONLY on
+    * inputs bounded by the reference's contract: chains <= 10,000 rows
+    * (csv_processor.py:68) — the bound is written at both call sites. */
+  private val unpartitionedWindowAllowed = Set(
+    "q06_batch_assign"      // W6 batch slicing (Chains.scala withBatchId shape)
+  )
+
   private def walk(p: SparkPlan): Seq[SparkPlan] = p match {
     case a: AdaptiveSparkPlanExec => a.initialPlan +: walk(a.initialPlan)
     case _ => p +: (p.children.flatMap(walk) ++
@@ -65,7 +72,8 @@ class PlanGuardSpec extends SparkTestBase {
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       try {
         val df = fn(spark, dir)
-        val nodes = walk(df.queryExecution.executedPlan).map(_.nodeName).toSet
+        val plans = walk(df.queryExecution.executedPlan)
+        val nodes = plans.map(_.nodeName).toSet
         if (nodes.exists(_.contains("CartesianProduct")))
           violations += s"$name: CartesianProduct"
         if (nodes.exists(_.contains("SortMergeJoin")) && !staticSmjAllowed(name))
@@ -73,6 +81,15 @@ class PlanGuardSpec extends SparkTestBase {
         if (nodes.exists(_.contains("BroadcastNestedLoopJoin")) &&
           !oneRowCrossJoinAllowed(name))
           violations += s"$name: undocumented BroadcastNestedLoopJoin"
+        val hasGlobalWindow = plans.exists {
+          case w: org.apache.spark.sql.execution.window.WindowExec =>
+            w.partitionSpec.isEmpty
+          case w: org.apache.spark.sql.execution.window.WindowGroupLimitExec =>
+            w.partitionSpec.isEmpty
+          case _ => false
+        }
+        if (hasGlobalWindow && !unpartitionedWindowAllowed(name))
+          violations += s"$name: undocumented UNPARTITIONED Window (global sort)"
       } catch {
         case e: Exception => violations += s"$name: plan build failed: ${e.getMessage}"
       }

@@ -50,6 +50,24 @@ class CharsetSniffSpec extends SparkTestBase {
     assert(s(Array.empty[Byte]) == "utf-8" && d(Array.empty[Byte]) == "")
   }
 
+  test("charset= outside a <meta> tag never overrides UTF-8 detection") {
+    // stray charset= in visible text, a query string, and a comment —
+    // WHATWG restricts the prescan to meta tags (ADVICE round 3)
+    val strays = Seq(
+      "<html><body>set charset=latin1 in your config</body></html>",
+      "<html><a href=\"/x?charset=windows-1252\">link</a>caf\u00e9</html>",
+      "<!-- charset=iso-8859-1 --><html><body>caf\u00e9</body></html>")
+    strays.foreach { h =>
+      val b = h.getBytes(StandardCharsets.UTF_8)
+      assert(s(b) == "utf-8", h)
+      assert(d(b) == h, h)
+    }
+    // but the same label INSIDE a meta tag still wins
+    val metaB = "<meta http-equiv=x content=\"charset=latin1\">caf\u00e9"
+      .getBytes(StandardCharsets.ISO_8859_1)
+    assert(s(metaB) == "iso-8859-1")
+  }
+
   test("column expressions round-trip all five q98 encodings under codegen") {
     val t = "body caf\u00E9 text"
     val rows = Seq(

@@ -41,6 +41,19 @@ class MimeSniffSpec extends SparkTestBase {
     assert(m("RIFF123".getBytes(UTF_8)) == "text/plain")
   }
 
+  test("UTF-16 BOM'd markup/text sniffs as text, not octet-stream") {
+    import java.nio.charset.StandardCharsets.{UTF_16LE, UTF_16BE}
+    val le = Array(0xFF.toByte, 0xFE.toByte)
+    val be = Array(0xFE.toByte, 0xFF.toByte)
+    assert(m(le ++ "<!DOCTYPE html><html>".getBytes(UTF_16LE)) == "text/html")
+    assert(m(be ++ "  <html lang=en>".getBytes(UTF_16BE)) == "text/html")
+    assert(m(le ++ "<?xml version=\"1.0\"?>".getBytes(UTF_16LE)) == "application/xml")
+    assert(m(le ++ "plain utf-16 prose".getBytes(UTF_16LE)) == "text/plain")
+    assert(m(be ++ "plain utf-16 prose".getBytes(UTF_16BE)) == "text/plain")
+    // a bare FF FE with nothing after is still text (empty payload)
+    assert(m(le) == "text/plain")
+  }
+
   test("column expression under codegen") {
     val rows = Seq(
       "image/gif" -> "GIF87a11".getBytes(UTF_8),

@@ -34,6 +34,25 @@ class FeedsSpec extends SparkTestBase {
       items.map(i => (i.url, i.title, i.published)))
   }
 
+  test("third-party entity forms decode: &quot; &apos; &#34; &#39;") {
+    // hand-built RSS (not our serializer): real-world feeds escape
+    // quotes too — ADVICE round 3 widened the decoded subset
+    val xml =
+      """<?xml version="1.0"?><rss><channel>
+        |<item><link>https://x.example.com/1</link>
+        |<title>He said &quot;hi&quot; &amp; left</title>
+        |<pubDate>2026-01-05</pubDate></item>
+        |<item><link>https://x.example.com/2</link>
+        |<title>it&apos;s &#39;quoted&#39; &#34;twice&#34;</title>
+        |<pubDate>2026-01-06</pubDate></item>
+        |</channel></rss>""".stripMargin
+    val out = Feeds.entries(
+        Seq(("https://x.example.com/feed.xml", xml)).toDF("feed_url", "xml"))
+      .orderBy("entry_url").collect()
+    assert(out(0).getString(3) == "He said \"hi\" & left")
+    assert(out(1).getString(3) == "it's 'quoted' \"twice\"")
+  }
+
   test("mixed corpus: format auto-detected per blob; one row per entry") {
     val rss = Feeds.serializeRss("https://r.example.com/feed.xml", items.take(2))
     val atom = Feeds.serializeAtom("https://a.example.com/feed.xml", items.drop(2))
