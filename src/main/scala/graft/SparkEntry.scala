@@ -10,7 +10,7 @@ import graft.frontier.{Crawler, CrawlRound}
 import graft.extract.{Classify, Dedup, FacilityExtract, Validation}
 import graft.functions.UrlPredicates
 import graft.sources.{Feeds, Sitemap, Warc}
-import graft.text.{BigramLm, Bpe, Chunker, Decontaminate, Dsir, InvertedIndex, LineDedup, Packing, Pii, PrepStack, QualityLr, Repetition, Sampling, SpanScrub, TextOps, TextPipeline, Tfidf, UnigramLm}
+import graft.text.{BigramLm, Bpe, Chunker, Decontaminate, Dsir, ExactSubstr, InvertedIndex, LineDedup, Packing, Pii, PrepStack, QualityLr, Repetition, Sampling, SpanScrub, TextOps, TextPipeline, Tfidf, UnigramLm}
 import graft.dedup.{DupClusters, NearDup}
 import graft.ann.{SemDedup, SemanticDecontaminate, Similarity}
 import graft.multimodal.MediaOps
@@ -1602,8 +1602,36 @@ object SparkEntry {
         .select(col("source"), col("host_rank").cast("long").as("host_rank"),
           col("doc_id"), col("pr").as("pagerank"))
         .orderBy("source", "host_rank")
+    }),
+
+    "q107_exact_substr" -> ((s, dir) => { // TRUE ExactSubstr dedup (Lee et al. 2022)
+      // character-level duplicated-span scrub at L=40 chars — the
+      // production semantics q62's word-k-gram lite form approximates
+      // (text/ExactSubstr.scala; suffix-array shard kernel in
+      // core/SuffixArray.scala, equivalence proven in ExactSubstrSpec).
+      // A 48-char license block is PLANTED into docs with id%7==3 at a
+      // doc-dependent offset (spans must match content-wise across
+      // DIFFERENT positions) with the identical construction in the
+      // oracle; natural cross-doc spans are scrubbed too, recomputed
+      // identically by both engines. md5 pins the scrubbed bytes.
+      val p = (pmod(col("doc_id"), lit(20)) + 1).cast("int")
+      val t = col("text")
+      val planted = T(s, dir, "documents").select(col("doc_id"),
+        when(pmod(col("doc_id"), lit(7)) === 3,
+            concat(t.substr(lit(1), p), lit(q107Shared),
+              t.substr(p + 1, length(t))))
+          .otherwise(t).as("text"))
+      ExactSubstr.scrub(planted, "doc_id", "text", L = 40, minDocs = 2)
+        .select(col("doc_id"), col("n_chars"), col("n_removed"),
+          md5(col("clean_text").cast("binary")).as("clean_md5"))
+        .orderBy("doc_id")
     })
   )
+
+  /** q107's planted cross-doc license block (48 chars), shared verbatim
+    * with the DuckDB oracle. */
+  private val q107Shared =
+    "EXACT-SUBSTR/SHARED-LICENSE-BLOCK v1.0 #ABCDEF#0"
 
   /** q99 dictionary — 1/2/3-word entries over the synthetic vocab plus an
     * absent term; shared verbatim with the oracle generator. */
@@ -2024,6 +2052,34 @@ object SparkEntry {
        |  pr AS pagerank
        |FROM j WHERE host_rank <= 3 ORDER BY source, host_rank""".stripMargin
 
+  /** q107 oracle: see the comment at the oracleSql entry. */
+  private def q107OracleSql: String =
+    s"""WITH d AS (SELECT doc_id,
+       |    CASE WHEN doc_id % 7 = 3 THEN
+       |      substr(text, 1, CAST(doc_id % 20 + 1 AS INT)) || '$q107Shared'
+       |        || substr(text, CAST(doc_id % 20 + 2 AS INT))
+       |    ELSE text END AS text
+       |  FROM documents),
+       |pos AS (SELECT doc_id, CAST(i AS INT) AS p,
+       |    md5(substr(text, CAST(i AS INT), 40)) AS h
+       |  FROM d, LATERAL unnest(range(1, length(text) - 40 + 2)) t(i)
+       |  WHERE length(text) >= 40),
+       |dup AS (SELECT h FROM pos GROUP BY h HAVING count(DISTINCT doc_id) >= 2),
+       |st AS (SELECT doc_id, list(p) AS starts
+       |  FROM pos JOIN dup USING (h) GROUP BY doc_id),
+       |c AS (SELECT d.doc_id, d.text,
+       |    list_distinct(flatten(list_transform(coalesce(starts, []),
+       |      s -> range(s, s + 40)))) AS rm
+       |  FROM d LEFT JOIN st USING (doc_id)),
+       |cl AS (SELECT c.doc_id,
+       |    string_agg(substr(c.text, CAST(x.i AS INT), 1), '' ORDER BY x.i) AS ct
+       |  FROM c, LATERAL unnest(range(1, length(c.text) + 1)) x(i)
+       |  WHERE NOT list_contains(c.rm, x.i) GROUP BY c.doc_id)
+       |SELECT c.doc_id, CAST(length(c.text) AS BIGINT) AS n_chars,
+       |  CAST(len(c.rm) AS BIGINT) AS n_removed,
+       |  md5(coalesce(cl.ct, '')) AS clean_md5
+       |FROM c LEFT JOIN cl USING (doc_id) ORDER BY doc_id""".stripMargin
+
   /** Shared q86/q87 oracle prefix: word counts, char-split init, and
     * `k` UNROLLED BPE merge iterations. Each iteration recomputes the
     * weighted adjacent-pair argmax (cnt DESC, l, r tie-break — identical
@@ -2336,6 +2392,12 @@ object SparkEntry {
     "q76_pagerank" -> q76OracleSql,
     "q103_hits" -> q103OracleSql,
     "q106_rank_priority" -> q106OracleSql,
+    // q107 oracle: identical planted license block, positional 40-char
+    // md5 window hashes, distinct-doc df >= 2, span cover union, and a
+    // per-char rebuild of the scrubbed text (md5-pinned). Engine parity
+    // holds because the corpus is ASCII (Spark UTF-16 chars = DuckDB
+    // code points = bytes); both sides hash the same UTF-8 window bytes.
+    "q107_exact_substr" -> q107OracleSql,
     // q104 oracle: the q92 overlap matrix in SQL, thresholded on the
     // ROUNDED jaccard, then a recursive-CTE connected components with
     // min-id labels; singleton hosts label themselves
