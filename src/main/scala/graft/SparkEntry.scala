@@ -10,7 +10,7 @@ import graft.frontier.{Crawler, CrawlRound}
 import graft.extract.{Classify, Dedup, FacilityExtract, Validation}
 import graft.functions.UrlPredicates
 import graft.sources.{Feeds, Sitemap, Warc}
-import graft.text.{BigramLm, Bpe, Chunker, Decontaminate, Dsir, ExactSubstr, InvertedIndex, LineDedup, Packing, Pii, PrepStack, QualityLr, Repetition, Sampling, SpanScrub, TextOps, TextPipeline, Tfidf, UnigramLm}
+import graft.text.{BigramLm, Bpe, Chunker, Decontaminate, Dsir, ExactSubstr, InvertedIndex, LineDedup, Packing, Pii, PrepStack, QualityLr, Repetition, Sampling, SpanScrub, TextOps, TextPipeline, Tfidf, TrigramLm, UnigramLm}
 import graft.dedup.{DupClusters, NearDup}
 import graft.ann.{SemDedup, SemanticDecontaminate, Similarity}
 import graft.multimodal.MediaOps
@@ -1625,6 +1625,169 @@ object SparkEntry {
         .select(col("doc_id"), col("n_chars"), col("n_removed"),
           md5(col("clean_text").cast("binary")).as("clean_md5"))
         .orderBy("doc_id")
+    }),
+
+    "q108_trigram_nll" -> ((s, dir) => // JM-interpolated trigram-LM surprise
+      // the top rung of the unigram→bigram→trigram LM-quality ladder
+      // (text/Tfidf.scala TrigramLm) — λ₃=0.6 trigram, λ₂=0.3 bigram,
+      // λ₁=0.1 unigram, all context counts from the instance tables.
+      TrigramLm.score(T(s, dir, "documents").select("doc_id", "text"),
+          "doc_id", "text", l3 = 0.6, l2 = 0.3)
+        .orderBy("doc_id")),
+
+    "q109_search_endpoints" -> ((s, dir) => { // form/search-endpoint discovery
+      // the reference's _discover_search_endpoints (navigation.py:184-220)
+      // through the REAL DOM: extract_forms Generator → location-keyword
+      // classifier on the form text → action resolved against the page
+      // url (urljoin rule) → field inventory. Every doc synthesizes a
+      // login form (no keyword — must be filtered out) plus, unless
+      // id%4==1, a search form whose action/method/fields vary by id;
+      // the oracle reconstructs the endpoint table straight from the
+      // synthesis formula, so the DOM, classifier, resolve, and
+      // type-default paths are verified end-to-end (the q97 pattern).
+      val m2 = pmod(col("doc_id"), lit(2))
+      val m3 = pmod(col("doc_id"), lit(3))
+      val m5 = pmod(col("doc_id"), lit(5)).cast("int")
+      val kw = array(lit("location"), lit("find"), lit("search"),
+        lit("facility"), lit("center"))
+      val searchForm = concat(
+        lit("<form"),
+        when(m3 === 0, lit("")) // action attribute ABSENT → endpoint = page url
+          .when(m3 === 1, lit(" action=\"/search\""))
+          .otherwise(lit(" action=\"https://ext.example.org/find?x=1\"")),
+        when(m2 === 0, lit("")) // method absent → default get
+          .otherwise(lit(" method=\"POST\"")), // uppercase → lowercased
+        lit("><label>"), element_at(kw, m5 + 1), lit(" here</label>"),
+        lit("<input name=\"q0\" required>"), // no type attr → default text
+        when(m3 >= 1, lit("<input name=\"q1\" type=\"hidden\">")).otherwise(lit("")),
+        when(m3 >= 2, lit("<input name=\"q2\" type=\"text\" required>")).otherwise(lit("")),
+        when(m2 === 0, // select: the reference's get('type','text') quirk → text
+          lit("<select name=\"state\"><option>aa</option></select>")).otherwise(lit("")),
+        lit("</form>"))
+      val html = concat(
+        lit("<html><body><div><form action=\"/login\" method=\"post\">"),
+        lit("<input name=\"user\" type=\"text\"><p>member sign-in</p></form>"),
+        when(pmod(col("doc_id"), lit(4)) =!= 1, searchForm).otherwise(lit("")),
+        lit("</div></body></html>"))
+      T(s, dir, "documents")
+        .select(col("doc_id"), docUrl.as("base_url"), html.as("html"))
+        .select(col("doc_id"), col("base_url"),
+          gf.extract_forms(col("html"))
+            .as(Seq("action", "method", "form_text", "fields")))
+        .filter(exists(kw, k => contains(lower(col("form_text")), k)))
+        .select(col("doc_id"),
+          when(col("action").isNull || col("action") === "", col("base_url"))
+            .otherwise(gf.resolve_url(col("base_url"), col("action")))
+            .as("endpoint"),
+          col("method"),
+          size(col("fields")).cast("long").as("n_fields"),
+          array_join(transform(col("fields"), f => f("name")), ",").as("names"),
+          array_join(transform(col("fields"), f => f("type")), ",").as("types"),
+          size(filter(col("fields"), f => f("required"))).cast("long")
+            .as("n_required"))
+        .orderBy("doc_id")
+    }),
+
+    "q110_warc_revisit" -> ((s, dir) => { // dedup-aware archiving (revisit records)
+      // the Common Crawl container feature q82 skipped: an unchanged
+      // page (payload digest == prior capture's) is archived as a
+      // payload-LESS `revisit` record pointing at the original capture
+      // (sources/Warc.writeIndexedDedup). Prior snapshot by formula:
+      // id%3==0 unchanged → revisit, id%3==1 changed digest → full
+      // response, id%3==2 never archived → full response. The re-read
+      // verifies record type, zero/full payload octets, the sha-256
+      // payload-digest header, and the refers-to back-pointers.
+      val out = new org.apache.hadoop.fs.Path(
+        System.getProperty("java.io.tmpdir"),
+        "graft-warc-rv-" + dir.replaceAll("[^A-Za-z0-9.]", "_"))
+      out.getFileSystem(s.sparkContext.hadoopConfiguration).delete(out, true)
+      val docs = T(s, dir, "documents").select(docUrl.as("url"),
+        lit("2026-03-01T00:00:00Z").as("date"), col("text").as("body"),
+        col("doc_id"))
+      val prior = docs.filter(pmod(col("doc_id"), lit(3)) < 2).select(
+        col("url"),
+        when(pmod(col("doc_id"), lit(3)) === 0,
+            sha2(col("body").cast("binary"), 256))
+          .otherwise(sha2(concat(col("body"), lit(" CHANGED")).cast("binary"), 256))
+          .as("digest"),
+        lit("2025-12-01T00:00:00Z").as("prior_date"))
+      Warc.writeIndexedDedup(docs.select("url", "date", "body"), prior,
+        out.toString, nFiles = 8, gzip = true).foreach(_ => ())
+      Warc.read(s, out.toString)
+        .filter(col("warc_type").isin("response", "revisit"))
+        .join(docs.select(col("url"), col("doc_id"), col("body").as("__orig")),
+          col("target_uri") === col("url"))
+        .select(col("doc_id"),
+          col("warc_type").as("rec_type"),
+          octet_length(col("body")).cast("long").as("body_octets"),
+          (col("payload_digest") ===
+            concat(lit("sha256:"), sha2(col("__orig").cast("binary"), 256)))
+            .as("digest_ok"),
+          when(col("warc_type") === "revisit",
+            col("refers_to_uri") === col("url") &&
+              col("refers_to_date") === lit("2025-12-01T00:00:00Z") &&
+              col("warc_profile").contains("identical-payload-digest"))
+            .otherwise(col("refers_to_uri") === "").as("refers_ok"))
+        .orderBy("doc_id")
+    }),
+
+    "q111_ann_recall" -> ((s, dir) => { // IVF recall@10 instrumentation
+      // q40's IVF asserted nothing about RECALL (VERDICT r3 #8). Here an
+      // 8-query panel is scored two ways in ONE vectorized plan each:
+      // exact brute-force top-10 (emitted — DuckDB-oracle-able) and IVF
+      // top-10 at nProbe ∈ {1,2,4} (asserted in-query, the q101
+      // pattern): recall@10 must be monotone in nProbe — guaranteed by
+      // the superset-candidates + exact-rescoring construction — and
+      // meet a floor at each probe width. All fan-outs are equi-joins
+      // (constant-key / centroid / qid broadcasts), never a BNLJ.
+      import s.implicits._
+      val vecs = T(s, dir, "embeddings").select("vec_id", "embedding")
+        .localCheckpoint(false)
+      val qs: Seq[(Long, Seq[Double])] = vecs.filter(col("vec_id") < 8)
+        .collect().map(r => (r.getLong(0),
+          r.getSeq[Float](1).map(_.toDouble).toSeq)).toSeq.sortBy(_._1)
+      require(qs.size == 8, s"query panel expects vec_ids 0..7, got ${qs.size}")
+      val qdf = broadcast(qs.toDF("qid", "qvec"))
+      val w = Window.partitionBy("qid")
+        .orderBy(col("cos").desc, col("vec_id").asc)
+      def top10(cand: DataFrame): DataFrame = cand
+        .withColumn("cos", Similarity.cosine(
+          transform(col("embedding"), x => x.cast("double")), col("qvec")))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 10)
+      val brute = top10(vecs.withColumn("__k", lit(1))
+          .join(qdf.withColumn("__k", lit(1)), Seq("__k")))
+        .select(col("qid"), col("vec_id"), round(col("cos"), 4).as("cos"),
+          col("rank"))
+        .localCheckpoint(false)
+      val bruteSets: Map[Long, Set[Long]] = brute.select("qid", "vec_id")
+        .collect().groupBy(_.getLong(0))
+        .map { case (q, rows) => q -> rows.map(_.getLong(1)).toSet }
+      val cents = Similarity.ivfCentroids(vecs, "vec_id", "embedding",
+        nCentroids = 16, iters = 2)
+      val assigned = Similarity.ivfAssign(vecs, "vec_id", "embedding", cents)
+        .localCheckpoint(false)
+      val recalls: Seq[(Int, Double)] = Seq(1, 2, 4).map { np =>
+        val pairs = qs.flatMap { case (qid, qv) =>
+          Similarity.probeCentroids(qv, cents, np).map(cid => (qid, cid))
+        }.toDF("qid", "centroid")
+        val ivfSets = top10(assigned.join(broadcast(pairs), Seq("centroid"))
+            .join(qdf, Seq("qid")))
+          .select("qid", "vec_id").collect().groupBy(_.getLong(0))
+          .map { case (q, rows) => q -> rows.map(_.getLong(1)).toSet }
+        np -> qs.map { case (qid, _) =>
+          (ivfSets.getOrElse(qid, Set.empty) & bruteSets(qid)).size / 10.0
+        }.sum / qs.size
+      }
+      val r = recalls.toMap
+      System.err.println(s"[q111] recall@10 by nProbe: $recalls")
+      require(r(1) <= r(2) + 1e-9 && r(2) <= r(4) + 1e-9,
+        s"recall must be monotone in nProbe, got $recalls")
+      // floors pinned under observed minima across sf0.001/0.01/0.1
+      // (0.74/0.78/0.88 — sf0.01 is the weakest panel) with margin
+      require(r(1) >= 0.5 && r(2) >= 0.6 && r(4) >= 0.8,
+        s"recall floors (0.5/0.6/0.8 at nProbe 1/2/4) violated: $recalls")
+      brute.orderBy("qid", "rank")
     })
   )
 
@@ -2398,6 +2561,82 @@ object SparkEntry {
     // holds because the corpus is ASCII (Spark UTF-16 chars = DuckDB
     // code points = bytes); both sides hash the same UTF-8 window bytes.
     "q107_exact_substr" -> q107OracleSql,
+    // q108 oracle: identical JM trigram model — trigram/trigram-context/
+    // bigram/bigram-context/unigram counts from the corpus's own words;
+    // λ weights written as the same left-assoc double arithmetic
+    // (1.0 - 0.6 - 0.3) both engines evaluate identically; round(nll, 4)
+    "q108_trigram_nll" ->
+      s"""WITH w AS (SELECT doc_id, $wordsSql AS words FROM documents),
+         |tg AS (SELECT doc_id, words[i] AS w1, words[i+1] AS w2, words[i+2] AS w3
+         |  FROM w, unnest(range(1, len(words) - 1)) AS t(i)),
+         |b AS (SELECT words[i] AS b1, words[i+1] AS b2
+         |  FROM w, unnest(range(1, len(words))) AS t(i)),
+         |ct AS (SELECT w1, w2, w3, count(*) AS ct FROM tg GROUP BY w1, w2, w3),
+         |c12 AS (SELECT w1, w2, count(*) AS c12 FROM tg GROUP BY w1, w2),
+         |cb AS (SELECT b1, b2, count(*) AS cb FROM b GROUP BY b1, b2),
+         |c2 AS (SELECT b1, count(*) AS c2 FROM b GROUP BY b1),
+         |e AS (SELECT unnest(words) AS term FROM w),
+         |cu AS (SELECT term, count(*) AS cu FROM e GROUP BY term),
+         |tot AS (SELECT count(*)::DOUBLE AS t FROM e),
+         |s AS (SELECT tg.doc_id,
+         |    -ln(0.6*(ct.ct/c12.c12) + 0.3*(cb.cb/c2.c2)
+         |        + (1.0 - 0.6 - 0.3)*(cu.cu/(SELECT t FROM tot))) AS lp
+         |  FROM tg JOIN ct USING (w1, w2, w3) JOIN c12 USING (w1, w2)
+         |  JOIN cb ON cb.b1 = tg.w2 AND cb.b2 = tg.w3
+         |  JOIN c2 ON c2.b1 = tg.w2
+         |  JOIN cu ON cu.term = tg.w3),
+         |agg AS (SELECT doc_id, count(*) AS nt, avg(lp) AS alp
+         |  FROM s GROUP BY doc_id)
+         |SELECT w.doc_id, CAST(coalesce(agg.nt, 0) AS BIGINT) AS n_trigrams,
+         |  round(coalesce(agg.alp, 0.0), 4) AS nll
+         |FROM w LEFT JOIN agg USING (doc_id) ORDER BY doc_id""".stripMargin,
+    // q109 oracle: the synthesis formula replayed — endpoint resolve rule
+    // (absent action → page url; relative → scheme+host join; absolute
+    // stays), method default/lowercase, field inventory incl. the
+    // select→'text' type-default quirk; docs with id%4==1 emit no
+    // search form, and the login form never passes the classifier
+    "q109_search_endpoints" ->
+      s"""SELECT doc_id,
+         |  CASE WHEN doc_id % 3 = 0 THEN $docUrlSql
+         |       WHEN doc_id % 3 = 1
+         |         THEN concat('https://', source, '.example.com/search')
+         |       ELSE 'https://ext.example.org/find?x=1' END AS endpoint,
+         |  CASE WHEN doc_id % 2 = 0 THEN 'get' ELSE 'post' END AS method,
+         |  CAST((doc_id % 3 + 1)
+         |    + CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END AS BIGINT) AS n_fields,
+         |  concat('q0', CASE WHEN doc_id % 3 >= 1 THEN ',q1' ELSE '' END,
+         |    CASE WHEN doc_id % 3 >= 2 THEN ',q2' ELSE '' END,
+         |    CASE WHEN doc_id % 2 = 0 THEN ',state' ELSE '' END) AS names,
+         |  concat('text', CASE WHEN doc_id % 3 >= 1 THEN ',hidden' ELSE '' END,
+         |    CASE WHEN doc_id % 3 >= 2 THEN ',text' ELSE '' END,
+         |    CASE WHEN doc_id % 2 = 0 THEN ',text' ELSE '' END) AS types,
+         |  CAST(CASE WHEN doc_id % 3 = 2 THEN 2 ELSE 1 END AS BIGINT) AS n_required
+         |FROM documents WHERE doc_id % 4 <> 1 ORDER BY doc_id""".stripMargin,
+    // q110 oracle: the dedup formula replayed — unchanged pages (id%3==0)
+    // become payload-less revisits, changed/new pages full responses;
+    // digest and refers-to header checks are asserted as booleans on the
+    // Spark side (sha-256 recomputed per row there), so the oracle pins
+    // them to TRUE and the octet counts to the UTF-8 body length
+    "q110_warc_revisit" ->
+      """SELECT doc_id,
+        |  CASE WHEN doc_id % 3 = 0 THEN 'revisit' ELSE 'response' END AS rec_type,
+        |  CAST(CASE WHEN doc_id % 3 = 0 THEN 0
+        |       ELSE octet_length(encode(text)) END AS BIGINT) AS body_octets,
+        |  TRUE AS digest_ok, TRUE AS refers_ok
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    // q111 oracle: the emitted surface is the EXACT multi-query brute
+    // top-10 (rank on the unrounded cosine, vec_id tiebreak — the q28
+    // lesson); the IVF recall numbers are asserted inside the query
+    "q111_ann_recall" ->
+      """WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv
+        |  FROM embeddings WHERE vec_id < 8),
+        |s AS (SELECT q.qid, e.vec_id,
+        |    list_cosine_similarity(e.embedding::DOUBLE[], q.qv) AS c
+        |  FROM embeddings e, q),
+        |r AS (SELECT qid, vec_id, c, row_number()
+        |    OVER (PARTITION BY qid ORDER BY c DESC, vec_id ASC) AS rank FROM s)
+        |SELECT qid, vec_id, round(c, 4) AS cos, CAST(rank AS INT) AS rank
+        |FROM r WHERE rank <= 10 ORDER BY qid, rank""".stripMargin,
     // q104 oracle: the q92 overlap matrix in SQL, thresholded on the
     // ROUNDED jaccard, then a recursive-CTE connected components with
     // min-id labels; singleton hosts label themselves

@@ -169,14 +169,20 @@ object Similarity {
    * deterministic across runs/partitionings (never an arbitrary member
    * row per centroid).
    */
+  /** The `nProbe` centroid ids nearest a query (driver-side ranking of
+    * the k centroid vectors — deterministic, ties broken on cid). */
+  def probeCentroids(query: Seq[Double], centroids: Seq[(Long, Seq[Double])],
+                     nProbe: Int): Seq[Long] =
+    centroids
+      .map { case (cid, cv) => (cid, cosineScalar(query, cv)) }
+      .sortBy { case (cid, c) => (-c, cid) }
+      .take(nProbe).map(_._1)
+
   def annIvf(assigned: DataFrame, idCol: String, vecCol: String,
              query: Seq[Float], k: Int, nProbe: Int,
              centroids: Seq[(Long, Seq[Double])]): DataFrame = {
     val qd = query.map(_.toDouble)
-    val probeCids = centroids
-      .map { case (cid, cv) => (cid, cosineScalar(qd, cv)) }
-      .sortBy { case (cid, c) => (-c, cid) }
-      .take(nProbe).map(_._1)
+    val probeCids = probeCentroids(qd, centroids, nProbe)
     val q = array(qd.map(lit): _*)
     assigned
       .filter(col("centroid").isin(probeCids: _*))

@@ -83,6 +83,12 @@ object gf {
     * anchor-text half of F3). Use in select() like explode(). */
   def extract_links(html: Column): Column = column(ExtractLinks(expression(html)))
 
+  /** Form Generator over the real DOM: a row per `<form>` —
+    * (action, method, form_text, fields name/type/required) — the
+    * search-endpoint discovery input (see [[graft.expr.ExtractForms]];
+    * reference navigation.py:184-220). Use in select() like explode(). */
+  def extract_forms(html: Column): Column = column(ExtractForms(expression(html)))
+
   /** Real CSS-selector query: text of every match, document order
     * (SURVEY.md C25 — see [[graft.expr.CssSelectAll]]). Selector must be
     * a literal. */

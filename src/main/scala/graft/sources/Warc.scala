@@ -39,7 +39,9 @@ import org.apache.spark.sql.types.{BinaryType, LongType, StringType, StructField
  */
 object Warc {
 
-  /** One parsed WARC record (response records carry parsed HTTP fields). */
+  /** One parsed WARC record (response records carry parsed HTTP fields;
+    * revisit records carry the digest/refers-to dedup headers — "" when
+    * absent). */
   final case class WarcRecord(
       warc_type: String,
       record_id: String,
@@ -48,22 +50,29 @@ object Warc {
       content_length: Long,
       http_status: Int,          // -1 for non-response records
       http_content_type: String, // "" for non-response records
-      body: Array[Byte])         // HTTP body for responses, raw block otherwise
+      body: Array[Byte],         // HTTP body for responses, raw block otherwise
+      payload_digest: String,    // WARC-Payload-Digest ("" when absent)
+      warc_profile: String,      // WARC-Profile ("" when absent)
+      refers_to_uri: String,     // WARC-Refers-To-Target-URI ("" when absent)
+      refers_to_date: String)    // WARC-Refers-To-Date ("" when absent)
 
   private val CRLF = "\r\n"
   private val Magic = "WARC/1.0"
 
   // ---------------------------------------------------------------- write
 
-  /** Serialize one record: WARC header + length-framed block + 2×CRLF. */
+  /** Serialize one record: WARC header + length-framed block + 2×CRLF.
+    * `extra` carries record-type-specific headers (digest/refers-to). */
   private def recordBytes(warcType: String, recordId: String, targetUri: String,
-      date: String, block: Array[Byte], blockContentType: String): Array[Byte] = {
+      date: String, block: Array[Byte], blockContentType: String,
+      extra: Seq[(String, String)] = Nil): Array[Byte] = {
     val header = new StringBuilder()
       .append(Magic).append(CRLF)
       .append("WARC-Type: ").append(warcType).append(CRLF)
       .append("WARC-Record-ID: ").append(recordId).append(CRLF)
       .append("WARC-Date: ").append(date).append(CRLF)
     if (targetUri.nonEmpty) header.append("WARC-Target-URI: ").append(targetUri).append(CRLF)
+    extra.foreach { case (k, v) => header.append(k).append(": ").append(v).append(CRLF) }
     header.append("Content-Type: ").append(blockContentType).append(CRLF)
       .append("Content-Length: ").append(block.length).append(CRLF)
       .append(CRLF)
@@ -162,6 +171,94 @@ object Warc {
   def write(docs: DataFrame, outDir: String, nFiles: Int, gzip: Boolean = true,
       contentType: String = "text/html"): Unit =
     writeIndexed(docs, outDir, nFiles, gzip, contentType).foreach(_ => ())
+
+  /**
+   * Dedup-aware archive writer — WARC `revisit` records (ISO 28500 §6.7.2,
+   * the Common Crawl / Heritrix `identical-payload-digest` profile): a
+   * fetch whose payload digest matches the PRIOR capture of the same url
+   * is archived as a payload-LESS revisit record that points back at the
+   * original capture, so an unchanged page costs ~200 header bytes
+   * instead of its body — the container-level face of the engine's
+   * seen/counting-Bloom dedup state (SnapshotDiff feeds `prior`).
+   *
+   *  - `docs`: (url, date, body) — this crawl's fetches;
+   *  - `prior`: (url, digest, prior_date) — the previous capture's
+   *    payload digest per url (the CDX+digest sidecar of the last run);
+   *    sha-256 hex (WARC allows any labeled algorithm; sha-256 is the
+   *    cross-engine-verifiable choice here).
+   *
+   * Every record (response AND revisit) carries `WARC-Payload-Digest`;
+   * revisits add `WARC-Profile` + `WARC-Refers-To-Target-URI`/`-Date`
+   * and an EMPTY block. Returns the CDX index over all written records.
+   *
+   * Scale shape: digest decisions are one equi-join on url (both sides
+   * crawl-sized — shuffle hash, never broadcast, never collected); the
+   * segment write stays the one-task-per-file pass of [[writeIndexed]].
+   */
+  def writeIndexedDedup(docs: DataFrame, prior: DataFrame, outDir: String,
+      nFiles: Int, gzip: Boolean = true,
+      contentType: String = "text/html"): org.apache.spark.sql.Dataset[CdxEntry] = {
+    require(nFiles > 0, s"nFiles=$nFiles must be positive")
+    val suffix = if (gzip) ".warc.gz" else ".warc"
+    import docs.sparkSession.implicits._
+    docs.select(col("url").cast("string"), col("date").cast("string"),
+        col("body").cast("string"))
+      .withColumn("__digest", sha2(col("body").cast("binary"), 256))
+      .join(prior.select(col("url").cast("string"),
+          col("digest").as("__prior_digest"),
+          col("prior_date").cast("string").as("__prior_date")),
+        Seq("url"), "left")
+      .withColumn("__revisit",
+        col("__prior_digest").isNotNull && col("__prior_digest") === col("__digest"))
+      .repartition(nFiles, col("url"))
+      .sortWithinPartitions("url")
+      .mapPartitions { rows =>
+        if (!rows.hasNext) Iterator.empty
+        else {
+          val pid = TaskContext.getPartitionId()
+          val path = new Path(outDir, f"part-$pid%05d$suffix")
+          val fs = path.getFileSystem(new Configuration())
+          val raw = fs.create(path, true)
+          val entries = Seq.newBuilder[CdxEntry]
+          try {
+            var pos = 0L
+            def member(bytes: Array[Byte]): Long =
+              if (gzip) {
+                val bos = new ByteArrayOutputStream(bytes.length / 2 + 64)
+                val gz = new GZIPOutputStream(bos)
+                gz.write(bytes); gz.finish()
+                val m = bos.toByteArray
+                raw.write(m); m.length.toLong
+              } else { raw.write(bytes); bytes.length.toLong }
+            val info = ("software: graft/1.0" + CRLF + "format: WARC File Format 1.0" + CRLF)
+              .getBytes(US_ASCII)
+            pos += member(recordBytes("warcinfo", recordIdFor(path.toString), "",
+              "2026-01-01T00:00:00Z", info, "application/warc-fields"))
+            rows.foreach { r =>
+              val url = r.getString(0)
+              val digestHeader = "WARC-Payload-Digest" -> s"sha256:${r.getString(3)}"
+              val bytes =
+                if (r.getBoolean(6)) // unchanged: payload-less revisit
+                  recordBytes("revisit", recordIdFor(url), url, r.getString(1),
+                    Array.emptyByteArray, "application/http; msgtype=response",
+                    Seq(digestHeader,
+                      "WARC-Profile" ->
+                        "http://netpreserve.org/warc/1.0/revisit/identical-payload-digest",
+                      "WARC-Refers-To-Target-URI" -> url,
+                      "WARC-Refers-To-Date" -> r.getString(5)))
+                else
+                  recordBytes("response", recordIdFor(url), url, r.getString(1),
+                    httpResponseBlock(r.getString(2).getBytes(UTF_8), contentType),
+                    "application/http; msgtype=response", Seq(digestHeader))
+              val len = member(bytes)
+              entries += CdxEntry(url, path.toString, pos, len)
+              pos += len
+            }
+          } finally raw.close()
+          entries.result().iterator
+        }
+      }
+  }
 
   /** Write segments AND the CDX sidecar (`outDir/cdx.parquet`) in one
     * job — the archive + `cluster.idx` layout. */
@@ -283,7 +380,11 @@ object Warc {
               if (tpe == "response") parseHttp(block) else (-1, "", block)
             nextRec = WarcRecord(tpe, h.getOrElse("warc-record-id", ""),
               h.getOrElse("warc-target-uri", ""), h.getOrElse("warc-date", ""),
-              len, status, ct, body)
+              len, status, ct, body,
+              h.getOrElse("warc-payload-digest", ""),
+              h.getOrElse("warc-profile", ""),
+              h.getOrElse("warc-refers-to-target-uri", ""),
+              h.getOrElse("warc-refers-to-date", ""))
             pos = bodyStart + len.toInt + 4 // skip record-separator 2×CRLF
           }
       }

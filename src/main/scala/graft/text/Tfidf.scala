@@ -134,3 +134,85 @@ object BigramLm {
         round(coalesce(col("__nll"), lit(0.0)), 4).as("nll"))
   }
 }
+
+/**
+ * Jelinek-Mercer interpolated TRIGRAM language model — the top rung of
+ * the [[UnigramLm]] → [[BigramLm]] → trigram ladder toward the CCNet
+ * 5-gram-KenLM quality signal (Wenzek et al. 2020; the reference scores
+ * page quality with keyword frequency only, so this whole ladder is
+ * beyond-reference training-data tooling):
+ *
+ *   p(w₃|w₁w₂) = λ₃·c(w₁w₂w₃)/c(w₁w₂·) + λ₂·c(w₂w₃)/c(w₂·) + λ₁·c(w₃)/T
+ *
+ * Every level is INTERPOLATED (not stupid-backoff): on in-corpus scoring
+ * a stupid-backoff model never backs off (every observed trigram has
+ * count ≥ 1 by construction), so JM is the variant whose lower orders
+ * are actually exercised. Context counts come from the instance tables
+ * (c(w₁w₂·) counts trigram openings, c(w₂·) bigram openings — a doc's
+ * tail words open no context), matching [[BigramLm]]'s convention.
+ *
+ * Scale shape: ONE words-projection (lazily checkpointed) feeds the
+ * trigram, bigram, and unigram explodes; all five count tables are
+ * map-side-combinable hash aggs keyed on terms; scoring joins the
+ * trigram-instance table on term keys only — text never shuffles, the
+ * model stays a DataFrame (at 100 TB the count tables are distributed,
+ * never collected). Per-doc score = avg over trigram tokens of −ln p;
+ * docs with < 3 words score 0.
+ */
+object TrigramLm {
+
+  /** (id, n_trigrams, nll) with nll = round(avg −ln p(w₃|w₁w₂), 4). */
+  def score(docs: DataFrame, idCol: String, textCol: String,
+            l3: Double = 0.6, l2: Double = 0.3): DataFrame = {
+    require(l3 > 0 && l2 > 0 && l3 + l2 < 1.0, "need λ₃, λ₂ > 0 with λ₃+λ₂ < 1")
+    val l1 = 1.0 - l3 - l2
+    val base = docs
+      .select(col(idCol), TextOps.words(col(textCol)).as("__ws"))
+      .localCheckpoint(false) // feeds tri/bi/uni explodes and the doc spine
+    val trigrams = base
+      .select(col(idCol),
+        explode(when(size(col("__ws")) >= 3,
+          arrays_zip(
+            slice(col("__ws"), lit(1), size(col("__ws")) - 2).as("w1"),
+            slice(col("__ws"), lit(2), size(col("__ws")) - 2).as("w2"),
+            slice(col("__ws"), lit(3), size(col("__ws")) - 2).as("w3")))
+          .otherwise(array())).as("__tg"))
+      .select(col(idCol), col("__tg.w1").as("w1"),
+        col("__tg.w2").as("w2"), col("__tg.w3").as("w3"))
+      .localCheckpoint(false) // feeds ct, c12, and the scoring join
+    val bigrams = base
+      .select(
+        explode(when(size(col("__ws")) >= 2,
+          arrays_zip(
+            slice(col("__ws"), lit(1), size(col("__ws")) - 1).as("b1"),
+            slice(col("__ws"), lit(2), size(col("__ws")) - 1).as("b2")))
+          .otherwise(array())).as("__bg"))
+      .select(col("__bg.b1").as("b1"), col("__bg.b2").as("b2"))
+      .localCheckpoint(false) // feeds cb and c2
+    val unigrams = base.select(explode(col("__ws")).as("term"))
+    val ct = trigrams.groupBy("w1", "w2", "w3").agg(count(lit(1)).as("__ct"))
+    val c12 = trigrams.groupBy("w1", "w2").agg(count(lit(1)).as("__c12"))
+    val cb = bigrams.groupBy("b1", "b2").agg(count(lit(1)).as("__cb"))
+    val c2 = bigrams.groupBy("b1").agg(count(lit(1)).as("__c2"))
+    val cu = unigrams.groupBy("term").agg(count(lit(1)).as("__cu"))
+    val total = unigrams.agg(count(lit(1)).cast("double").as("__t"))
+    val scored = trigrams
+      .join(ct, Seq("w1", "w2", "w3"))
+      .join(c12, Seq("w1", "w2"))
+      .join(cb, col("w2") === cb("b1") && col("w3") === cb("b2"))
+      .join(c2.withColumnRenamed("b1", "__c2key"), col("w2") === col("__c2key"))
+      .join(cu, col("w3") === cu("term"))
+      .crossJoin(broadcast(total))
+      .select(col(idCol),
+        (-log(lit(l3) * (col("__ct") / col("__c12")) +
+          lit(l2) * (col("__cb") / col("__c2")) +
+          lit(l1) * (col("__cu") / col("__t")))).as("__lp"))
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("__nt"), avg("__lp").as("__nll"))
+    base.select(col(idCol))
+      .join(scored, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("__nt"), lit(0L)).as("n_trigrams"),
+        round(coalesce(col("__nll"), lit(0.0)), 4).as("nll"))
+  }
+}

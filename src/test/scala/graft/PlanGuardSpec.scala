@@ -42,7 +42,8 @@ class PlanGuardSpec extends SparkTestBase {
     "q63_dsir",            // target/raw model totals (Dsir.scala:84,89)
     "q64_semantic_decon",  // bench-blob norm scalar
     "q69_temperature_mix", // mixture normalizer scalar (Sampling.scala:111)
-    "q78_bigram_nll"       // unigram total (Tfidf.scala:124)
+    "q78_bigram_nll",      // unigram total (Tfidf.scala BigramLm)
+    "q108_trigram_nll"     // unigram total (Tfidf.scala TrigramLm)
   )
 
   /** Static SMJ where AQE re-plans at runtime (see scaladoc). */

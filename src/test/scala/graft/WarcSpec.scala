@@ -161,6 +161,53 @@ class WarcSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("revisit records: unchanged payloads archive payload-less and point back") {
+    val dir = tmpDir("warc-revisit")
+    val docs = synthDocs(30).cache()
+    // prior snapshot: ids %3==0 unchanged, %3==1 changed digest, %3==2 absent
+    val prior = docs
+      .withColumn("id", regexp_extract($"url", "/p/([0-9]+)$", 1).cast("long"))
+      .filter(pmod($"id", lit(3)) < 2)
+      .select($"url",
+        when(pmod($"id", lit(3)) === 0, sha2($"body".cast("binary"), 256))
+          .otherwise(sha2(concat($"body", lit("X")).cast("binary"), 256)).as("digest"),
+        lit("2025-11-01T00:00:00Z").as("prior_date"))
+    val cdx = Warc.writeIndexedDedup(docs, prior, dir, nFiles = 2).cache()
+    assert(cdx.count() == 30) // every fetch indexed, revisit or not
+
+    val rec = Warc.read(spark, dir).cache()
+    val revisits = rec.filter($"warc_type" === "revisit")
+    val responses = rec.filter($"warc_type" === "response")
+    assert(revisits.count() == 10 && responses.count() == 20)
+
+    // revisits: empty block, digest + profile + refers-to headers present
+    assert(revisits.filter(octet_length($"body") =!= 0).isEmpty)
+    assert(revisits.filter(!$"warc_profile".contains("identical-payload-digest")).isEmpty)
+    assert(revisits.filter($"refers_to_uri" =!= $"target_uri" ||
+      $"refers_to_date" =!= "2025-11-01T00:00:00Z").isEmpty)
+
+    // every record's digest header is sha256 of the CURRENT body
+    val want = docs.select($"url",
+      concat(lit("sha256:"), sha2($"body".cast("binary"), 256)).as("d"))
+    assert(rec.filter($"warc_type".isin("revisit", "response"))
+      .join(want, $"target_uri" === want("url"))
+      .filter($"payload_digest" =!= $"d").isEmpty)
+
+    // responses round-trip their bodies; a ranged CDX fetch of a revisit
+    // record inflates to the revisit (point-lookup works for both kinds)
+    val full = Warc.responses(responses).select("url", "body_text")
+      .as[(String, String)].collect().toSet
+    val wantFull = docs
+      .withColumn("id", regexp_extract($"url", "/p/([0-9]+)$", 1).cast("long"))
+      .filter(pmod($"id", lit(3)) =!= 0)
+      .select("url", "body").as[(String, String)].collect().toSet
+    assert(full == wantFull)
+    val revUrl = revisits.select("target_uri").as[String].head()
+    val fetched = Warc.fetchRanged(cdx.filter($"url" === revUrl))
+    assert(fetched.select("warc_type").as[String].collect().toSeq == Seq("revisit"))
+    docs.unpersist(); cdx.unpersist(); rec.unpersist()
+  }
+
   test("read schedules one task per segment and prunes content for path-only scans") {
     val dir = tmpDir("warc-tasks")
     Warc.write(synthDocs(30), dir, nFiles = 4, gzip = true)
