@@ -10,7 +10,7 @@ import graft.frontier.{Crawler, CrawlRound}
 import graft.extract.{Classify, Dedup, FacilityExtract, Validation}
 import graft.functions.UrlPredicates
 import graft.sources.{Feeds, Sitemap, Warc}
-import graft.text.{BigramLm, Bpe, Chunker, Decontaminate, Dsir, ExactSubstr, InvertedIndex, LineDedup, Packing, Pii, PrepStack, QualityLr, Repetition, Sampling, SpanScrub, TextOps, TextPipeline, Tfidf, TrigramLm, UnigramLm}
+import graft.text.{BigramLm, Bpe, Chunker, Decontaminate, Dsir, ExactSubstr, InvertedIndex, LineDedup, Packing, Pii, PrepStack, QualityLr, Repetition, Sampling, SpanScrub, StupidBackoff, TextOps, TextPipeline, Tfidf, TrigramLm, UnigramLm}
 import graft.dedup.{DupClusters, NearDup}
 import graft.ann.{SemDedup, SemanticDecontaminate, Similarity}
 import graft.multimodal.MediaOps
@@ -1788,6 +1788,45 @@ object SparkEntry {
       require(r(1) >= 0.5 && r(2) >= 0.6 && r(4) >= 0.8,
         s"recall floors (0.5/0.6/0.8 at nProbe 1/2/4) violated: $recalls")
       brute.orderBy("qid", "rank")
+    }),
+
+    "q112_cuckoo_recrawl" -> ((s, dir) => { // compact cuckoo seen filter + retirement
+      // q80's cuckoo twin at ~1/3 the state bytes and ~80× lower fpp
+      // (core/CuckooFilter — the north star names "bloom/cuckoo"): seen
+      // = docs with id%4≠3; recrawl retires the id%5==2 slice of seen;
+      // candidates = every doc url. Cuckoo state is built, the retired
+      // slice removed entry-wise (no full-state rebuild), and candidates
+      // flow through the pre-filter + exact anti-join — whose verdict is
+      // exact by construction, so the oracle re-derives the readmission
+      // set in pure SQL: unseen (%4==3) ∪ retired (%4≠3 ∧ %5==2).
+      val withUrl = T(s, dir, "documents").select(
+          col("doc_id"), docUrl.as("url"))
+        .withColumn("urlHash", gf.url_id(col("url")))
+      val seen = withUrl.filter(pmod(col("doc_id"), lit(4)) =!= 3)
+        .select("urlHash")
+      val retired = withUrl.filter(pmod(col("doc_id"), lit(4)) =!= 3 &&
+        pmod(col("doc_id"), lit(5)) === 2).select("urlHash")
+      val ccfg = CrawlConfig(bloomBuckets = 8)
+      val state = frontier.SeenSet.retireFromCuckoo(
+        frontier.SeenSet.buildCuckoos(seen, 1024L, ccfg),
+        retired, 1024L, ccfg)
+      val seenAfter = seen.join(retired, Seq("urlHash"), "left_anti")
+      frontier.SeenSet.filterUnseenCuckoo(withUrl, seenAfter, state, ccfg)
+        .select("doc_id").orderBy("doc_id")
+    }),
+
+    "q113_stupid_backoff" -> ((s, dir) => { // held-out stupid-backoff trigram score
+      // Brants et al. 2007 web-scale LM scoring (text/Tfidf
+      // StupidBackoff): model counts from the even-id half of the
+      // corpus, odd-id half scored HELD-OUT so the backoff chain
+      // (trigram → α·bigram → α²·unigram → α³ OOV floor) actually
+      // fires — the in-corpus variant is q108's JM interpolation.
+      val docs = T(s, dir, "documents").select("doc_id", "text")
+      StupidBackoff.score(
+          docs.filter(pmod(col("doc_id"), lit(2)) === 1),
+          docs.filter(pmod(col("doc_id"), lit(2)) === 0),
+          "doc_id", "text", alpha = 0.4)
+        .orderBy("doc_id")
     })
   )
 
@@ -2590,6 +2629,42 @@ object SparkEntry {
          |SELECT w.doc_id, CAST(coalesce(agg.nt, 0) AS BIGINT) AS n_trigrams,
          |  round(coalesce(agg.alp, 0.0), 4) AS nll
          |FROM w LEFT JOIN agg USING (doc_id) ORDER BY doc_id""".stripMargin,
+    // q113 oracle: identical stupid-backoff model — counts from the
+    // even-id half, odd-id half scored held-out via LEFT joins + CASE;
+    // α arithmetic written left-assoc (0.4*cb/c2, (0.4*0.4)*cu/t,
+    // (0.4*0.4*0.4)/t) so both engines fold the same doubles
+    "q113_stupid_backoff" ->
+      s"""WITH w AS (SELECT doc_id, $wordsSql AS words FROM documents),
+         |tr AS (SELECT * FROM w WHERE doc_id % 2 = 0),
+         |ev AS (SELECT * FROM w WHERE doc_id % 2 = 1),
+         |mtg AS (SELECT words[i] AS w1, words[i+1] AS w2, words[i+2] AS w3
+         |  FROM tr, unnest(range(1, len(words) - 1)) AS t(i)),
+         |mb AS (SELECT words[i] AS b1, words[i+1] AS b2
+         |  FROM tr, unnest(range(1, len(words))) AS t(i)),
+         |mu AS (SELECT unnest(words) AS term FROM tr),
+         |ct AS (SELECT w1, w2, w3, count(*) AS ct FROM mtg GROUP BY w1, w2, w3),
+         |c12 AS (SELECT w1, w2, count(*) AS c12 FROM mtg GROUP BY w1, w2),
+         |cb AS (SELECT b1, b2, count(*) AS cb FROM mb GROUP BY b1, b2),
+         |c2 AS (SELECT b1, count(*) AS c2 FROM mb GROUP BY b1),
+         |cu AS (SELECT term, count(*) AS cu FROM mu GROUP BY term),
+         |tot AS (SELECT count(*)::DOUBLE AS t FROM mu),
+         |etg AS (SELECT doc_id, words[i] AS w1, words[i+1] AS w2, words[i+2] AS w3
+         |  FROM ev, unnest(range(1, len(words) - 1)) AS t(i)),
+         |s AS (SELECT etg.doc_id,
+         |    -ln(CASE WHEN ct.ct IS NOT NULL THEN ct.ct/c12.c12
+         |      WHEN cb.cb IS NOT NULL THEN 0.4*cb.cb/c2.c2
+         |      WHEN cu.cu IS NOT NULL THEN (0.4*0.4)*cu.cu/(SELECT t FROM tot)
+         |      ELSE (0.4*0.4*0.4)/(SELECT t FROM tot) END) AS lp
+         |  FROM etg LEFT JOIN ct USING (w1, w2, w3)
+         |  LEFT JOIN c12 USING (w1, w2)
+         |  LEFT JOIN cb ON cb.b1 = etg.w2 AND cb.b2 = etg.w3
+         |  LEFT JOIN c2 ON c2.b1 = etg.w2
+         |  LEFT JOIN cu ON cu.term = etg.w3),
+         |agg AS (SELECT doc_id, count(*) AS nt, avg(lp) AS alp
+         |  FROM s GROUP BY doc_id)
+         |SELECT ev.doc_id, CAST(coalesce(agg.nt, 0) AS BIGINT) AS n_trigrams,
+         |  round(coalesce(agg.alp, 0.0), 4) AS nll
+         |FROM ev LEFT JOIN agg USING (doc_id) ORDER BY doc_id""".stripMargin,
     // q109 oracle: the synthesis formula replayed — endpoint resolve rule
     // (absent action → page url; relative → scheme+host join; absolute
     // stays), method default/lowercase, field inventory incl. the
@@ -2724,6 +2799,13 @@ object SparkEntry {
     "q80_counting_recrawl" ->
       """SELECT doc_id FROM documents
         |WHERE doc_id % 3 = 2 OR (doc_id % 3 <> 2 AND doc_id % 7 = 1)
+        |ORDER BY doc_id""".stripMargin,
+    // q112 oracle: same shape as q80's (the cuckoo pre-filter only
+    // accelerates; the exact anti-join keeps the verdict exact):
+    // unseen (%4==3) ∪ retired-from-seen (%4≠3 ∧ %5==2)
+    "q112_cuckoo_recrawl" ->
+      """SELECT doc_id FROM documents
+        |WHERE doc_id % 4 = 3 OR (doc_id % 4 <> 3 AND doc_id % 5 = 2)
         |ORDER BY doc_id""".stripMargin,
     // q79 oracle: the same ROLLUP grouping sets; NULL grouping rows are
     // masked to '*' in both engines (no synthetic segment is ever '*')

@@ -125,6 +125,62 @@ object SeenSet {
     definitelyNew.unionByName(verified)
   }
 
+  // ---- cuckoo-filter state: the COMPACT deletable variant ----
+
+  /** (bloomBucket, ckf) over the seen hashes — the cuckoo pre-filter
+    * ([[graft.core.CuckooFilter]]): 16-bit fingerprints in 4-slot
+    * buckets ≈ 2.9 B/key at fpp ≈ 1.2e-4 — ~3× smaller than the
+    * counting filter at ~80× lower fpp, still deletable. The trade:
+    * incremental state equals a rebuild ANSWER-identically (multiset
+    * entry semantics, spec-asserted) rather than byte-identically, so
+    * the serialized blob must never be hashed or compared directly. */
+  def buildCuckoos(seenHashes: DataFrame, expectedPerBucket: Long,
+                   cfg: CrawlConfig): DataFrame =
+    seenHashes
+      .groupBy(pmod(col("urlHash"), lit(cfg.bloomBuckets)).as("bloomBucket"))
+      .agg(gf.cuckoo_agg(col("urlHash"), expectedPerBucket).as("ckf"))
+
+  /** Fold a round's ADD delta into cuckoo state (multiset union —
+    * answers exactly those of the filter of the union). */
+  def addToCuckoo(state: DataFrame, deltaHashes: DataFrame,
+                  expectedPerBucket: Long, cfg: CrawlConfig): DataFrame =
+    state.unionByName(buildCuckoos(deltaHashes, expectedPerBucket, cfg))
+      .groupBy("bloomBucket")
+      .agg(gf.cuckoo_merge_agg(col("ckf")).as("ckf"))
+
+  /** Retire hashes from cuckoo state: build a deletion filter of the
+    * SAME shape per bucket and remove one fingerprint copy per retired
+    * key. Retired keys must come from the seen set (they do — see
+    * [[retireFromCounting]]); the result answers like a rebuild from
+    * `seen ∖ retired` with NO full-state scan: O(retired) per round. */
+  def retireFromCuckoo(state: DataFrame, retiredHashes: DataFrame,
+                       expectedPerBucket: Long, cfg: CrawlConfig): DataFrame = {
+    val deltas = buildCuckoos(retiredHashes, expectedPerBucket, cfg)
+      .withColumnRenamed("ckf", "__delta")
+    state.join(deltas, Seq("bloomBucket"), "left")
+      .select(col("bloomBucket"),
+        when(col("__delta").isNull, col("ckf"))
+          .otherwise(gf.cuckoo_subtract(col("ckf"), col("__delta")))
+          .as("ckf"))
+  }
+
+  /** [[filterUnseen]] against cuckoo state (same split: filter miss →
+    * definitely new, filter hit → exact anti-join verdict). */
+  def filterUnseenCuckoo(candidates: DataFrame, seenHashes: DataFrame,
+                         ckfs: DataFrame, cfg: CrawlConfig): DataFrame = {
+    val tested = candidates
+      .withColumn("bloomBucket", pmod(col("urlHash"), lit(cfg.bloomBuckets)))
+      .join(broadcast(ckfs), Seq("bloomBucket"), "left")
+      .withColumn("maybeSeen",
+        col("ckf").isNotNull &&
+          gf.cuckoo_might_contain(col("ckf"), col("urlHash")))
+      .drop("ckf", "bloomBucket")
+    val definitelyNew = tested.filter(!col("maybeSeen")).drop("maybeSeen")
+    val verified = tested.filter(col("maybeSeen")).drop("maybeSeen")
+      .join(seenHashes.select("urlHash"), Seq("urlHash"), "left_anti")
+    definitelyNew.unionByName(verified)
+  }
+
   /**
    * candidates − seen. `candidates` must be unique by urlHash; result
    * preserves candidate columns. `prebuilt` carries incremental bloom

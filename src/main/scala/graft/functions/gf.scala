@@ -155,6 +155,26 @@ object gf {
   def cbloom_might_contain(cbf: Column, value: Column): Column =
     column(CbloomMightContain(expression(cbf), expression(value)))
 
+  /** Cuckoo-filter (compact deletable seen pre-filter) aggregate over
+    * LONGs — see [[graft.expr.CuckooAgg]] / [[graft.core.CuckooFilter]]
+    * for the answer-identity merge contract. */
+  def cuckoo_agg(values: Column, expectedItems: Long): Column =
+    column(CuckooAgg(expression(values), expression(lit(expectedItems)))
+      .toAggregateExpression())
+
+  /** Multiset-union merge of same-shape serialized cuckoo filters. */
+  def cuckoo_merge_agg(ckfs: Column): Column =
+    column(CuckooMergeAgg(expression(ckfs)).toAggregateExpression())
+
+  /** Retire a deletion batch (a cuckoo filter over deleted keys) from
+    * cuckoo state: remove one fingerprint copy per delta entry. */
+  def cuckoo_subtract(state: Column, delta: Column): Column =
+    column(CuckooSubtract(expression(state), expression(delta)))
+
+  /** Test a LONG against a serialized cuckoo filter. */
+  def cuckoo_might_contain(ckf: Column, value: Column): Column =
+    column(CuckooMightContain(expression(ckf), expression(value)))
+
   /** URL identity per north rule: xxhash64 of canonical form. */
   def url_id(url: Column): Column = xxhash64(canonicalize_url(url))
 

@@ -1,6 +1,6 @@
 package graft.text
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -210,6 +210,98 @@ object TrigramLm {
       .groupBy(idCol)
       .agg(count(lit(1)).as("__nt"), avg("__lp").as("__nll"))
     base.select(col(idCol))
+      .join(scored, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("__nt"), lit(0L)).as("n_trigrams"),
+        round(coalesce(col("__nll"), lit(0.0)), 4).as("nll"))
+  }
+}
+
+/**
+ * Stupid-backoff trigram scorer (Brants et al., EMNLP 2007 "Large
+ * Language Models in Machine Translation" — the canonical web-scale
+ * MapReduce LM: no discounting, no normalization, just count ratios
+ * with a fixed backoff penalty α, built precisely because it
+ * distributes over count tables the way interpolated/Katz models
+ * don't). The held-out complement of [[TrigramLm]]: backoff only ever
+ * fires on n-grams UNSEEN in the model, so the model counts come from
+ * a separate `model` corpus and `docs` is scored against it —
+ * in-corpus scoring would never back off (every observed trigram has
+ * count ≥ 1 by construction, the reason TrigramLm interpolates).
+ *
+ *   S(w₃|w₁w₂) = c(w₁w₂w₃)/c(w₁w₂·)     if c(w₁w₂w₃) > 0
+ *              = α·c(w₂w₃)/c(w₂·)       elif c(w₂w₃) > 0
+ *              = α²·c(w₃)/T             elif c(w₃) > 0
+ *              = α³/T                   else (OOV floor)
+ *
+ * S is a score, not a probability (it doesn't normalize) — exactly the
+ * published definition plus a deterministic α³/T OOV floor so unseen
+ * words score finitely. nll = round(avg −ln S, 4) per doc; docs with
+ * < 3 words score 0.
+ *
+ * Scale shape: identical to [[TrigramLm]] — one words-projection per
+ * corpus, five map-side-combinable count aggs, scoring joins the eval
+ * trigram instances on term keys only, but LEFT so unseen n-grams
+ * survive to the backoff CASE; the model total is a 1-row broadcast
+ * crossJoin. At 100 TB the model tables are distributed DataFrames
+ * (Brants et al. served them sharded; a serving join here is the same
+ * equi-join).
+ */
+object StupidBackoff {
+
+  /** (id, n_trigrams, nll) for `docs`, scored against `model`. */
+  def score(docs: DataFrame, model: DataFrame, idCol: String,
+            textCol: String, alpha: Double = 0.4): DataFrame = {
+    require(alpha > 0 && alpha < 1, s"alpha=$alpha")
+    val evalBase = docs
+      .select(col(idCol), TextOps.words(col(textCol)).as("__ws"))
+      .localCheckpoint(false) // feeds the eval explode and the doc spine
+    val modelWords = model
+      .select(TextOps.words(col(textCol)).as("__ws"))
+      .localCheckpoint(false) // feeds tri/bi/uni model explodes
+    def triOf(df: DataFrame, keep: Seq[Column]): DataFrame = df
+      .select(keep :+ explode(when(size(col("__ws")) >= 3,
+          arrays_zip(
+            slice(col("__ws"), lit(1), size(col("__ws")) - 2).as("w1"),
+            slice(col("__ws"), lit(2), size(col("__ws")) - 2).as("w2"),
+            slice(col("__ws"), lit(3), size(col("__ws")) - 2).as("w3")))
+          .otherwise(array())).as("__tg"): _*)
+      .select(keep ++ Seq(col("__tg.w1").as("w1"), col("__tg.w2").as("w2"),
+        col("__tg.w3").as("w3")): _*)
+    val mTri = triOf(modelWords, Seq.empty)
+    val mBi = modelWords
+      .select(explode(when(size(col("__ws")) >= 2,
+          arrays_zip(
+            slice(col("__ws"), lit(1), size(col("__ws")) - 1).as("b1"),
+            slice(col("__ws"), lit(2), size(col("__ws")) - 1).as("b2")))
+          .otherwise(array())).as("__bg"))
+      .select(col("__bg.b1").as("b1"), col("__bg.b2").as("b2"))
+      .localCheckpoint(false) // feeds cb and c2
+    val mUni = modelWords.select(explode(col("__ws")).as("term"))
+    val ct = mTri.groupBy("w1", "w2", "w3").agg(count(lit(1)).as("__ct"))
+    val c12 = mTri.groupBy("w1", "w2").agg(count(lit(1)).as("__c12"))
+    val cb = mBi.groupBy("b1", "b2").agg(count(lit(1)).as("__cb"))
+    val c2 = mBi.groupBy("b1").agg(count(lit(1)).as("__c2"))
+    val cu = mUni.groupBy("term").agg(count(lit(1)).as("__cu"))
+    val total = mUni.agg(count(lit(1)).cast("double").as("__t"))
+    val a = lit(alpha)
+    val scored = triOf(evalBase, Seq(col(idCol)))
+      .join(ct, Seq("w1", "w2", "w3"), "left")
+      .join(c12, Seq("w1", "w2"), "left")
+      .join(cb, col("w2") === cb("b1") && col("w3") === cb("b2"), "left")
+      .join(c2.withColumnRenamed("b1", "__c2key"),
+        col("w2") === col("__c2key"), "left")
+      .join(cu, col("w3") === cu("term"), "left")
+      .crossJoin(broadcast(total))
+      .select(col(idCol),
+        (-log(
+          when(col("__ct").isNotNull, col("__ct") / col("__c12"))
+            .when(col("__cb").isNotNull, a * col("__cb") / col("__c2"))
+            .when(col("__cu").isNotNull, a * a * col("__cu") / col("__t"))
+            .otherwise(a * a * a / col("__t")))).as("__lp"))
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("__nt"), avg("__lp").as("__nll"))
+    evalBase.select(col(idCol))
       .join(scored, Seq(idCol), "left")
       .select(col(idCol),
         coalesce(col("__nt"), lit(0L)).as("n_trigrams"),

@@ -43,7 +43,8 @@ class PlanGuardSpec extends SparkTestBase {
     "q64_semantic_decon",  // bench-blob norm scalar
     "q69_temperature_mix", // mixture normalizer scalar (Sampling.scala:111)
     "q78_bigram_nll",      // unigram total (Tfidf.scala BigramLm)
-    "q108_trigram_nll"     // unigram total (Tfidf.scala TrigramLm)
+    "q108_trigram_nll",    // unigram total (Tfidf.scala TrigramLm)
+    "q113_stupid_backoff"  // model token total (Tfidf.scala StupidBackoff)
   )
 
   /** Static SMJ where AQE re-plans at runtime (see scaladoc). */
