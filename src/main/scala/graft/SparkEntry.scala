@@ -1827,6 +1827,47 @@ object SparkEntry {
           docs.filter(pmod(col("doc_id"), lit(2)) === 0),
           "doc_id", "text", alpha = 0.4)
         .orderBy("doc_id")
+    }),
+
+    "q114_robots_rfc" -> ((s, dir) => { // RFC 9309 wildcard robots verdicts
+      // Full Robots Exclusion Protocol (core/RobotsRules via the
+      // robots_decision expr) over planted per-source robots.txt: even
+      // md5-60bit source hashes publish a graftbot-specific group
+      // (Disallow /files/ overridden by the LONGER Allow /files/doc-1*)
+      // PLUS a blanket `User-agent: *` / `Disallow: /` group that the
+      // agent match must IGNORE; odd hashes publish only a * group
+      // exercising longest-match (/private/pub/ > /private/), the $
+      // anchor (/*.php$), a /-crossing wildcard (/a/*/c/) and the
+      // allow-wins length tie (/tie/). Paths planted by doc_id%5; the
+      // oracle replays the whole decision table as closed per-rule SQL.
+      val grpBot = "User-agent: graftbot\nDisallow: /files/\n" +
+        "Allow: /files/doc-1*\nCrawl-delay: 3\n\nUser-agent: *\nDisallow: /\n"
+      val grpStar = "User-agent: *\nDisallow: /private/\n" +
+        "Allow: /private/pub/\nDisallow: /*.php$\nDisallow: /a/*/c/\n" +
+        "Allow: /tie/\nDisallow: /tie/\n"
+      val d = T(s, dir, "documents").select(
+        col("doc_id"),
+        concat(col("source"), lit(".example.com")).as("host"),
+        (pmod(graft.dedup.NearDup.md5TokenHash(col("source")), lit(2)) === 0)
+          .as("__grpA"),
+        concat(
+          when(pmod(col("doc_id"), lit(5)) === 0, lit("/private/doc-"))
+            .when(pmod(col("doc_id"), lit(5)) === 1, lit("/private/pub/doc-"))
+            .when(pmod(col("doc_id"), lit(5)) === 2, lit("/files/doc-"))
+            .when(pmod(col("doc_id"), lit(5)) === 3,
+              concat(lit("/a/x"), pmod(col("doc_id"), lit(7)).cast("string"),
+                lit("/c/doc-")))
+            .otherwise(lit("/tie/doc-")),
+          col("doc_id").cast("string"),
+          when(pmod(col("doc_id"), lit(5)) === 2, lit(".php"))
+            .otherwise(lit(""))).as("path"))
+      d.withColumn("__d", gf.robots_decision(
+          when(col("__grpA"), lit(grpBot)).otherwise(lit(grpStar)),
+          lit("graftbot"), col("path")))
+        .select(col("doc_id"), col("host"), col("path"),
+          col("__d.allowed").as("allowed"), col("__d.rule").as("rule"),
+          col("__d.crawl_delay").as("crawl_delay"))
+        .orderBy("doc_id")
     })
   )
 
@@ -2665,6 +2706,38 @@ object SparkEntry {
          |SELECT ev.doc_id, CAST(coalesce(agg.nt, 0) AS BIGINT) AS n_trigrams,
          |  round(coalesce(agg.alp, 0.0), 4) AS nll
          |FROM ev LEFT JOIN agg USING (doc_id) ORDER BY doc_id""".stripMargin,
+    // q114 oracle: the RFC 9309 decision table replayed as closed SQL —
+    // group A (even md5-60bit source hash) obeys ONLY the graftbot group
+    // (its blanket * Disallow:/ is ignored; /files/ loses to the longer
+    // /files/doc-1* on doc-1xxx); group B applies longest-match, the
+    // $-anchored /*.php$, the /-crossing /a/*/c/ and the allow-wins tie
+    "q114_robots_rfc" ->
+      """WITH d AS (SELECT doc_id, source || '.example.com' AS host,
+        |    CAST('0x' || substring(md5(source), 1, 15) AS BIGINT) % 2 = 0
+        |      AS grpa,
+        |    CASE doc_id % 5
+        |      WHEN 0 THEN '/private/doc-' || doc_id
+        |      WHEN 1 THEN '/private/pub/doc-' || doc_id
+        |      WHEN 2 THEN '/files/doc-' || doc_id || '.php'
+        |      WHEN 3 THEN '/a/x' || (doc_id % 7) || '/c/doc-' || doc_id
+        |      ELSE '/tie/doc-' || doc_id END AS path
+        |  FROM documents)
+        |SELECT doc_id, host, path,
+        |  CASE WHEN grpa THEN doc_id % 5 <> 2 OR path LIKE '/files/doc-1%'
+        |       ELSE doc_id % 5 IN (1, 4) END AS allowed,
+        |  CASE WHEN grpa THEN
+        |      CASE WHEN doc_id % 5 = 2 THEN
+        |          CASE WHEN path LIKE '/files/doc-1%' THEN '/files/doc-1*'
+        |               ELSE '/files/' END
+        |        ELSE NULL END
+        |    ELSE CASE doc_id % 5
+        |      WHEN 0 THEN '/private/'
+        |      WHEN 1 THEN '/private/pub/'
+        |      WHEN 2 THEN '/*.php$'
+        |      WHEN 3 THEN '/a/*/c/'
+        |      ELSE '/tie/' END END AS rule,
+        |  CASE WHEN grpa THEN 3.0 ELSE NULL END AS crawl_delay
+        |FROM d ORDER BY doc_id""".stripMargin,
     // q109 oracle: the synthesis formula replayed — endpoint resolve rule
     // (absent action → page url; relative → scheme+host join; absolute
     // stays), method default/lowercase, field inventory incl. the

@@ -64,6 +64,14 @@ object gf {
   def dict_hits(text: Column, dict: Seq[String]): Column =
     column(DictHits(expression(text), dict))
 
+  /** RFC 9309 robots verdict for one path under one robots.txt:
+    * struct(allowed, rule, crawl_delay) — group selection, `*`/`$`
+    * patterns, longest-match / allow-wins-tie precedence (see
+    * [[graft.core.RobotsRules]] / [[graft.expr.RobotsDecision]]). */
+  def robots_decision(robotsTxt: Column, agent: Column, path: Column): Column =
+    column(RobotsDecision(expression(robotsTxt), expression(agent),
+      expression(path)))
+
   /** HyperLogLog sketch of pre-hashed LONG values (standard error ≈
     * 1.04/√2^p; see [[graft.expr.HllAgg]]). Returns a binary blob. */
   def hll_agg(hashedValues: Column, p: Int = 12): Column =
@@ -221,5 +229,7 @@ object gf {
       es => DeflateRatio(es.head), "scala_udf")
     reg.createOrReplaceTempFunction("main_content",
       es => MainContentExtract(es.head, 10, 0.33), "scala_udf")
+    reg.createOrReplaceTempFunction("robots_decision",
+      es => RobotsDecision(es(0), es(1), es(2)), "scala_udf")
   }
 }

@@ -2,6 +2,7 @@ package graft.sources
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import graft.functions.gf
 
 /**
  * Sitemap / robots.txt parsing (SURVEY.md S4/S5) over raw-document columns
@@ -82,4 +83,22 @@ object Sitemap {
         lit(1.0)).as("crawlDelay"),
       regexp_extract_all(txt, lit("(?i)Sitemap:\\s*(\\S+)"), lit(1)).as("sitemaps"))
   }
+
+  /** RFC 9309 variant of the J5 robots filter: keep the candidates whose
+    * path the host's FULL robots.txt allows for `agent` (group selection,
+    * wildcard rules, longest-match precedence — [[graft.core.RobotsRules]])
+    * — versus [[parseRobots]] + CrawlRound's prefix-only Disallow gate.
+    * `robotsRaw` is (host, robots_txt), one row per host — bounded by the
+    * crawl's host count exactly like CrawlRound's robots broadcast, so the
+    * broadcast is safe by the same contract; the parse runs once per host
+    * via the expression's blob cache, not once per row. */
+  def filterAllowedRfc(candidates: DataFrame, robotsRaw: DataFrame,
+                       agent: String, urlCol: String = "canonUrl"): DataFrame =
+    candidates
+      .join(broadcast(robotsRaw.select(col("host"), col("robots_txt"))),
+        Seq("host"), "left")
+      .filter(col("robots_txt").isNull ||
+        gf.robots_decision(col("robots_txt"), lit(agent),
+          gf.url_path(col(urlCol))).getField("allowed"))
+      .drop("robots_txt")
 }
