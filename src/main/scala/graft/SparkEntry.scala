@@ -10,9 +10,9 @@ import graft.frontier.{Crawler, CrawlRound}
 import graft.extract.{Classify, Dedup, FacilityExtract, Validation}
 import graft.functions.UrlPredicates
 import graft.sources.{Feeds, Sitemap, Warc}
-import graft.text.{BigramLm, Bpe, Chunker, Decontaminate, Dsir, ExactSubstr, InvertedIndex, LineDedup, Packing, Pii, PrepStack, QualityLr, Repetition, Sampling, SpanScrub, StupidBackoff, TextOps, TextPipeline, Tfidf, TrigramLm, UnigramLm}
+import graft.text.{BigramLm, Bpe, Chunker, Decontaminate, Dsir, ExactSubstr, InvertedIndex, KneserNey, LineDedup, Packing, Pii, PrepStack, QualityLr, Repetition, Sampling, SpanScrub, StupidBackoff, TextOps, TextPipeline, Tfidf, TrigramLm, UnigramLm}
 import graft.dedup.{DupClusters, NearDup}
-import graft.ann.{SemDedup, SemanticDecontaminate, Similarity}
+import graft.ann.{Pq, SemDedup, SemanticDecontaminate, Similarity}
 import graft.multimodal.MediaOps
 
 /**
@@ -1868,6 +1868,100 @@ object SparkEntry {
           col("__d.allowed").as("allowed"), col("__d.rule").as("rule"),
           col("__d.crawl_delay").as("crawl_delay"))
         .orderBy("doc_id")
+    }),
+
+    "q115_ann_pq" -> ((s, dir) => { // product-quantization ANN (ADC + exact re-rank)
+      // The memory half of IVF-PQ (ann/Pq, Jégou TPAMI'11): 64 float
+      // dims compress to 8 codes (k=16 per subspace); queries scan ONLY
+      // the code column via an ADC lookup table and exact-re-rank the
+      // top-C candidates by id equi-join. Emitted surface = the exact
+      // brute-force L2 top-10 for an 8-query panel (vec_ids 8..15,
+      // disjoint from q111's IVF panel) — DuckDB replays it with
+      // list_distance. The PQ path is asserted in-query (q111 pattern):
+      // recall@10 is monotone in C (superset candidates + exact rerank)
+      // and meets floors at C = {4%, 10%} of the corpus. C scales with
+      // n because a FLAT ADC scan's fixed-width recall decays as the
+      // corpus grows; in the production IVF-PQ composition the IVF half
+      // bounds each probed cell, making the per-cell C constant.
+      import s.implicits._
+      val vecs = T(s, dir, "embeddings").select("vec_id", "embedding")
+        .localCheckpoint(false)
+      val qs: Seq[(Long, Seq[Double])] =
+        vecs.filter(col("vec_id") >= 8 && col("vec_id") < 16)
+          .collect().map(r => (r.getLong(0),
+            r.getSeq[Float](1).map(_.toDouble).toSeq)).toSeq.sortBy(_._1)
+      require(qs.size == 8, s"query panel expects vec_ids 8..15, got ${qs.size}")
+      val qdf = broadcast(qs.toDF("qid", "qvec"))
+      val w = Window.partitionBy("qid")
+        .orderBy(col("dist").asc, col("vec_id").asc)
+      def sqL2(v: Column, q: Column): Column = aggregate(
+        zip_with(transform(v, x => x.cast("double")), q,
+          (a, b) => (a - b) * (a - b)), lit(0.0d), (acc, x) => acc + x)
+      val brute = vecs.withColumn("__k", lit(1))
+        .join(qdf.withColumn("__k", lit(1)), Seq("__k"))
+        .withColumn("dist", sqrt(sqL2(col("embedding"), col("qvec"))))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 10)
+        .select(col("qid"), col("vec_id"), round(col("dist"), 4).as("dist"),
+          col("rank"))
+        .localCheckpoint(false)
+      val bruteSets: Map[Long, Set[Long]] = brute.select("qid", "vec_id")
+        .collect().groupBy(_.getLong(0))
+        .map { case (q, rows) => q -> rows.map(_.getLong(1)).toSet }
+      val cb = Pq.train(vecs, "vec_id", "embedding", dim = 64,
+        m = 8, k = 32, iters = 3)
+      val codes = Pq.encode(vecs, "vec_id", "embedding", cb)
+        .localCheckpoint(false) // the 1/32-width scan surface
+      // one 8×8×16-double LUT literal covering the whole panel; ADC =
+      // m lookups per (row, query) — no float vector touched
+      val lutLit = typedlit(qs.map { case (_, qv) => Pq.lutFor(qv, cb) })
+      val qidx = (col("qid") - 7).cast("int") // 1-based panel position
+      val adc = aggregate(
+        zip_with(col("codes"), element_at(lutLit, qidx),
+          (c, row) => element_at(row, c + 1)), lit(0.0d), (acc, x) => acc + x)
+      val n = vecs.count()
+      val cWidths = Seq(math.max(20L, n / 25).toInt, math.max(50L, n / 10).toInt)
+      val adcRanked = codes.withColumn("__k", lit(1))
+        .join(broadcast(qs.map(_._1).toDF("qid").withColumn("__k", lit(1))),
+          Seq("__k"))
+        .withColumn("dist", adc)
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= cWidths.max) // narrower C is a prefix
+        .select("qid", "vec_id", "rank")
+        .localCheckpoint(false)
+      val recalls: Seq[(Int, Double)] = cWidths.map { c =>
+        val rr = adcRanked.filter(col("rank") <= c)
+          .join(vecs, Seq("vec_id")) // rehydrate ONLY the candidates
+          .join(qdf, Seq("qid"))
+          .withColumn("dist", sqL2(col("embedding"), col("qvec")))
+          .withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= 10)
+          .select("qid", "vec_id").collect().groupBy(_.getLong(0))
+          .map { case (q, rows) => q -> rows.map(_.getLong(1)).toSet }
+        c -> qs.map { case (qid, _) =>
+          (rr.getOrElse(qid, Set.empty) & bruteSets(qid)).size / 10.0
+        }.sum / qs.size
+      }
+      System.err.println(s"[q115] PQ recall@10 by candidate width: $recalls")
+      require(recalls(0)._2 <= recalls(1)._2 + 1e-9,
+        s"recall must be monotone in candidate width, got $recalls")
+      require(recalls(0)._2 >= 0.5 && recalls(1)._2 >= 0.7,
+        s"recall floors (0.5/0.7 at 4%/10% width) violated: $recalls")
+      brute.orderBy("qid", "rank")
+    }),
+
+    "q116_kneser_ney" -> ((s, dir) => { // interpolated Kneser-Ney bigram LM
+      // The smoothing rung between q78's Jelinek-Mercer mix and q113's
+      // stupid backoff (text/Tfidf KneserNey): absolute discount D=0.75,
+      // continuation probability N₁₊(·w₂)/N₁₊(··) as the lower-order
+      // model. Held-out split (model = even ids, eval = odd) so the
+      // discount-to-zero branch and both unseen paths fire.
+      val docs = T(s, dir, "documents").select("doc_id", "text")
+      KneserNey.score(
+          docs.filter(pmod(col("doc_id"), lit(2)) === 1),
+          docs.filter(pmod(col("doc_id"), lit(2)) === 0),
+          "doc_id", "text", discount = 0.75)
+        .orderBy("doc_id")
     })
   )
 
@@ -2785,6 +2879,51 @@ object SparkEntry {
         |    OVER (PARTITION BY qid ORDER BY c DESC, vec_id ASC) AS rank FROM s)
         |SELECT qid, vec_id, round(c, 4) AS cos, CAST(rank AS INT) AS rank
         |FROM r WHERE rank <= 10 ORDER BY qid, rank""".stripMargin,
+    // q115 oracle: the emitted surface is the exact brute-force L2
+    // top-10 for the vec_id 8..15 panel (rank on the unrounded distance,
+    // vec_id tiebreak); the PQ ADC recall floors are asserted in-query
+    "q115_ann_pq" ->
+      """WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv
+        |  FROM embeddings WHERE vec_id >= 8 AND vec_id < 16),
+        |s AS (SELECT q.qid, e.vec_id,
+        |    list_distance(e.embedding::DOUBLE[], q.qv) AS d
+        |  FROM embeddings e, q),
+        |r AS (SELECT qid, vec_id, d, row_number()
+        |    OVER (PARTITION BY qid ORDER BY d ASC, vec_id ASC) AS rank FROM s)
+        |SELECT qid, vec_id, round(d, 4) AS dist, CAST(rank AS INT) AS rank
+        |FROM r WHERE rank <= 10 ORDER BY qid, rank""".stripMargin,
+    // q116 oracle: interpolated Kneser-Ney replayed term-for-term —
+    // model tables from the even-id half, eval bigrams from the odd
+    // half, D=0.75, continuation counts over bigram TYPES, OOV floor
+    // 0.5/N1+(··); expression structure mirrors the Spark plan so the
+    // 4-dp rounded NLL is IEEE-identical
+    "q116_kneser_ney" ->
+      s"""WITH w AS (SELECT doc_id, $wordsSql AS words FROM documents),
+         |tr AS (SELECT * FROM w WHERE doc_id % 2 = 0),
+         |ev AS (SELECT * FROM w WHERE doc_id % 2 = 1),
+         |mb AS (SELECT words[i] AS w1, words[i+1] AS w2
+         |  FROM tr, unnest(range(1, len(words))) AS t(i)),
+         |cb AS (SELECT w1, w2, count(*) AS cb FROM mb GROUP BY w1, w2),
+         |ctx AS (SELECT w1, sum(cb) AS cc, count(*) AS n1f FROM cb GROUP BY w1),
+         |cont AS (SELECT w2, count(*) AS n1b FROM cb GROUP BY w2),
+         |bt AS (SELECT count(*)::DOUBLE AS bt FROM cb),
+         |eb AS (SELECT doc_id, words[i] AS w1, words[i+1] AS w2
+         |  FROM ev, unnest(range(1, len(words))) AS t(i)),
+         |s AS (SELECT eb.doc_id,
+         |    -ln(CASE WHEN ctx.cc IS NOT NULL THEN
+         |        greatest(coalesce(cb.cb, 0)::DOUBLE - 0.75, 0.0) / ctx.cc
+         |        + 0.75 * ctx.n1f / ctx.cc
+         |          * (coalesce(CAST(cont.n1b AS DOUBLE), 0.5) / (SELECT bt FROM bt))
+         |      ELSE coalesce(CAST(cont.n1b AS DOUBLE), 0.5) / (SELECT bt FROM bt)
+         |      END) AS lp
+         |  FROM eb LEFT JOIN cb USING (w1, w2)
+         |  LEFT JOIN ctx USING (w1)
+         |  LEFT JOIN cont ON cont.w2 = eb.w2),
+         |agg AS (SELECT doc_id, count(*) AS nb, avg(lp) AS alp
+         |  FROM s GROUP BY doc_id)
+         |SELECT ev.doc_id, CAST(coalesce(agg.nb, 0) AS BIGINT) AS n_bigrams,
+         |  round(coalesce(agg.alp, 0.0), 4) AS nll
+         |FROM ev LEFT JOIN agg USING (doc_id) ORDER BY doc_id""".stripMargin,
     // q104 oracle: the q92 overlap matrix in SQL, thresholded on the
     // ROUNDED jaccard, then a recursive-CTE connected components with
     // min-id labels; singleton hosts label themselves

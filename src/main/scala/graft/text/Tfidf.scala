@@ -308,3 +308,89 @@ object StupidBackoff {
         round(coalesce(col("__nll"), lit(0.0)), 4).as("nll"))
   }
 }
+
+/**
+ * Interpolated Kneser-Ney bigram language model (Kneser & Ney, ICASSP
+ * 1995; the interpolated form of Chen & Goodman 1999) — the smoothing
+ * rung between [[BigramLm]]'s Jelinek-Mercer mix and [[StupidBackoff]]'s
+ * unnormalized count ratios, and the one whose LOWER-order model is a
+ * different ESTIMATOR, not just a smaller count table: the continuation
+ * probability
+ *
+ *   p_cont(w₂) = N₁₊(·w₂) / N₁₊(··)
+ *
+ * counts the distinct CONTEXTS w₂ follows (bigram types ending in w₂
+ * over all bigram types), so a word frequent only inside one collocation
+ * ("francisco") scores low where a raw unigram would score high — the
+ * property that made KN the standard n-gram smoother. The full model,
+ * with absolute discount D and context count c(w₁·) = Σ_x c(w₁x):
+ *
+ *   p(w₂|w₁) = max(c(w₁w₂) − D, 0)/c(w₁·)
+ *              + D·N₁₊(w₁·)/c(w₁·) · p_cont(w₂)      if c(w₁·) > 0
+ *            = p_cont(w₂)                             if w₁ unseen
+ *
+ * with the OOV floor p_cont(w₂) = 0.5/N₁₊(··) when w₂ never closes a
+ * model bigram (a deterministic half-count; any positive floor works —
+ * the oracle replays the same literal). Scored HELD-OUT like
+ * [[StupidBackoff]] (model ≠ eval corpus) so the max(c−D,0) = 0 branch
+ * and both unseen paths actually fire.
+ *
+ * Scale shape: identical to the rest of the ladder — one model bigram
+ * explode feeds ONE pair-count agg, from which the three marginal
+ * tables (context counts + forward/backward type counts) are derived
+ * as further hash aggs; eval bigram instances LEFT-join the model
+ * tables on term keys only; N₁₊(··) is a 1-row broadcast crossJoin.
+ * Text never shuffles; the model stays a DataFrame.
+ */
+object KneserNey {
+
+  /** (id, n_bigrams, nll) for `docs` scored against `model`;
+    * nll = round(avg −ln p_KN(w₂|w₁), 4), docs with < 2 words → 0. */
+  def score(docs: DataFrame, model: DataFrame, idCol: String,
+            textCol: String, discount: Double = 0.75): DataFrame = {
+    require(discount > 0 && discount < 1, s"discount=$discount")
+    val d = lit(discount)
+    def bigramsOf(df: DataFrame, keep: Seq[Column]): DataFrame = df
+      .select(keep :+ explode(when(size(col("__ws")) >= 2,
+          arrays_zip(
+            slice(col("__ws"), lit(1), size(col("__ws")) - 1).as("w1"),
+            slice(col("__ws"), lit(2), size(col("__ws")) - 1).as("w2")))
+          .otherwise(array())).as("__bg"): _*)
+      .select(keep ++ Seq(col("__bg.w1").as("w1"), col("__bg.w2").as("w2")): _*)
+    val evalBase = docs
+      .select(col(idCol), TextOps.words(col(textCol)).as("__ws"))
+      .localCheckpoint(false) // feeds the eval explode and the doc spine
+    val modelWords = model.select(TextOps.words(col(textCol)).as("__ws"))
+    // ONE pair-count agg; every other model table derives from it
+    val cb = bigramsOf(modelWords, Seq.empty)
+      .groupBy("w1", "w2").agg(count(lit(1)).as("__cb"))
+      .localCheckpoint(false) // feeds ctx, cont, and the type total
+    val ctx = cb.groupBy("w1")
+      .agg(sum("__cb").as("__cc"), count(lit(1)).as("__n1f"))
+    val cont = cb.groupBy("w2").agg(count(lit(1)).as("__n1b"))
+      .withColumnRenamed("w2", "__contKey")
+    val btypes = cb.agg(count(lit(1)).cast("double").as("__bt"))
+    val pCont = (coalesce(col("__n1b").cast("double"), lit(0.5)) / col("__bt"))
+    val scored = bigramsOf(evalBase, Seq(col(idCol)))
+      .join(cb, Seq("w1", "w2"), "left")
+      .join(ctx, Seq("w1"), "left")
+      .join(cont, col("w2") === col("__contKey"), "left")
+      .crossJoin(broadcast(btypes))
+      .select(col(idCol),
+        (-log(when(col("__cc").isNotNull,
+            greatest(coalesce(col("__cb"), lit(0L)).cast("double") - d, lit(0.0))
+              / col("__cc")
+              + d * col("__n1f") / col("__cc") * pCont)
+          .otherwise(pCont))).as("__lp"))
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("__nb"), avg("__lp").as("__nll"))
+    // spine assembly hinted shuffle_hash: `scored` is already keyed by
+    // id and the crossJoin upstream poisons its size estimate toward
+    // SMJ (the q103 lesson)
+    evalBase.select(col(idCol))
+      .join(scored.hint("shuffle_hash"), Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("__nb"), lit(0L)).as("n_bigrams"),
+        round(coalesce(col("__nll"), lit(0.0)), 4).as("nll"))
+  }
+}

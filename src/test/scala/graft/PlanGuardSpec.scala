@@ -44,7 +44,8 @@ class PlanGuardSpec extends SparkTestBase {
     "q69_temperature_mix", // mixture normalizer scalar (Sampling.scala:111)
     "q78_bigram_nll",      // unigram total (Tfidf.scala BigramLm)
     "q108_trigram_nll",    // unigram total (Tfidf.scala TrigramLm)
-    "q113_stupid_backoff"  // model token total (Tfidf.scala StupidBackoff)
+    "q113_stupid_backoff", // model token total (Tfidf.scala StupidBackoff)
+    "q116_kneser_ney"      // bigram-type total N1+(··) (Tfidf.scala KneserNey)
   )
 
   /** Static SMJ where AQE re-plans at runtime (see scaladoc). */

@@ -48,4 +48,32 @@ class IndexLmSpec extends SparkTestBase {
       (1L, 1L, nll(pAB)), (2L, 1L, nll(pAB)), (3L, 1L, nll(pAC)),
       (4L, 0L, 0.0), (5L, 0L, 0.0)))
   }
+
+  test("Kneser-Ney: hand-computed held-out NLL; all four branches fire") {
+    // model: bigrams (a,b)x2 (a,c)x1 → cb={ab:2, ac:1}; ctx(a): cc=3,
+    // n1f=2; cont: b→1, c→1; bigram types bt=2; p_cont(b)=p_cont(c)=1/2,
+    // OOV p_cont=0.5/2=0.25. D=0.75.
+    val model = Seq((10L, "a b"), (11L, "a b"), (12L, "a c"))
+      .toDF("doc_id", "text")
+    val eval = Seq(
+      (1L, "a b a z c b"), // (a,b) seen; (b,a)/(z,c)/(c,b) unseen-ctx;
+                           // (a,z) seen-ctx + unseen pair + OOV cont
+      (2L, "a b"),         // the pure discounted-count branch
+      (3L, "q"), (4L, "")  // short docs → 0
+    ).toDF("doc_id", "text")
+    val got = KneserNey.score(eval, model, "doc_id", "text", discount = 0.75)
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    def r4(x: Double) = BigDecimal(x)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val pAB = (2.0 - 0.75) / 3 + 0.75 * 2 / 3 * 0.5 // = 2/3
+    val pBA = 0.25  // w1 unseen, 'a' never closes a bigram → OOV floor
+    val pAZ = 0.0 / 3 + 0.75 * 2 / 3 * 0.25 // seen ctx, unseen pair+cont
+    val pZC = 0.5   // w1 unseen, p_cont(c)
+    val pCB = 0.5
+    val nll1 = r4(Seq(pAB, pBA, pAZ, pZC, pCB).map(p => -math.log(p)).sum / 5)
+    assert(got.toSeq == Seq(
+      (1L, 5L, nll1), (2L, 1L, r4(-math.log(pAB))),
+      (3L, 0L, 0.0), (4L, 0L, 0.0)))
+  }
 }
