@@ -1962,6 +1962,45 @@ object SparkEntry {
           docs.filter(pmod(col("doc_id"), lit(2)) === 0),
           "doc_id", "text", discount = 0.75)
         .orderBy("doc_id")
+    }),
+
+    "q117_domain_budget" -> ((s, dir) => { // registrable-domain politeness budgets
+      // Per-HOST politeness (W2) is spoofable: a spam farm minting
+      // subdomains multiplies its budget. Keying budgets on the
+      // REGISTRABLE domain (core/PublicSuffix — the PSL eTLD+1
+      // algorithm via the codegen registrable_domain expr) closes the
+      // hole without merging unrelated sites under multi-label suffixes
+      // or splitting platform publishers. Hosts planted by doc_id%6
+      // exercise every rule class: multi-label ccTLD (subdomains
+      // collapse), private platform suffix (publishers stay separate),
+      // default rule, wildcard *.ck (every sub IS its own site),
+      // exception !www.ck and !city.kawasaki.jp (global collapse). The
+      // oracle replays the expected eTLD+1 from the planted shape, so
+      // the real PSL engine must agree host-for-host. Per-domain
+      // count/rank are bounded-cardinality windows; at 100 TB the
+      // budget rank is W2's salted two-phase shape keyed on rdomain.
+      val ds = (c: Column) => c.cast("string")
+      val m6 = pmod(col("doc_id"), lit(6))
+      val d = T(s, dir, "documents").select(col("doc_id"), col("source"))
+        .withColumn("host",
+          when(m6 === 0, concat(lit("a"), ds(pmod(col("doc_id"), lit(7))),
+            lit("."), col("source"), lit(".co.uk")))
+          .when(m6 === 1, concat(lit("b"), ds(pmod(col("doc_id"), lit(5))),
+            lit("."), col("source"), lit(".github.io")))
+          .when(m6 === 2, concat(col("source"), lit(".com")))
+          .when(m6 === 3, concat(lit("c"), ds(pmod(col("doc_id"), lit(3))),
+            lit("."), col("source"), lit(".ck")))
+          .when(m6 === 4, concat(lit("p"), ds(pmod(col("doc_id"), lit(3))),
+            lit(".www.ck")))
+          .otherwise(concat(lit("x"), ds(pmod(col("doc_id"), lit(4))),
+            lit(".city.kawasaki.jp"))))
+        .withColumn("rdomain", gf.registrable_domain(col("host")))
+      d.withColumn("domain_urls",
+          count(lit(1)).over(Window.partitionBy("rdomain")))
+        .withColumn("kept", row_number().over(
+          Window.partitionBy("rdomain").orderBy("doc_id")) <= 3)
+        .select("doc_id", "host", "rdomain", "domain_urls", "kept")
+        .orderBy("doc_id")
     })
   )
 
@@ -2924,6 +2963,32 @@ object SparkEntry {
          |SELECT ev.doc_id, CAST(coalesce(agg.nb, 0) AS BIGINT) AS n_bigrams,
          |  round(coalesce(agg.alp, 0.0), 4) AS nll
          |FROM ev LEFT JOIN agg USING (doc_id) ORDER BY doc_id""".stripMargin,
+    // q117 oracle: the expected eTLD+1 replayed from the planted host
+    // shape (formula-level, the q114 pattern) — co.uk/github.io
+    // subdomains collapse per site, *.ck subs are each their own
+    // registrable domain, the !www.ck / !city.kawasaki.jp exceptions
+    // collapse globally; budget windows replayed identically
+    "q117_domain_budget" ->
+      """WITH d AS (SELECT doc_id,
+        |  CASE doc_id % 6
+        |    WHEN 0 THEN 'a' || (doc_id % 7) || '.' || source || '.co.uk'
+        |    WHEN 1 THEN 'b' || (doc_id % 5) || '.' || source || '.github.io'
+        |    WHEN 2 THEN source || '.com'
+        |    WHEN 3 THEN 'c' || (doc_id % 3) || '.' || source || '.ck'
+        |    WHEN 4 THEN 'p' || (doc_id % 3) || '.www.ck'
+        |    ELSE 'x' || (doc_id % 4) || '.city.kawasaki.jp' END AS host,
+        |  CASE doc_id % 6
+        |    WHEN 0 THEN source || '.co.uk'
+        |    WHEN 1 THEN source || '.github.io'
+        |    WHEN 2 THEN source || '.com'
+        |    WHEN 3 THEN 'c' || (doc_id % 3) || '.' || source || '.ck'
+        |    WHEN 4 THEN 'www.ck'
+        |    ELSE 'city.kawasaki.jp' END AS rdomain
+        |  FROM documents)
+        |SELECT doc_id, host, rdomain,
+        |  count(*) OVER (PARTITION BY rdomain) AS domain_urls,
+        |  (row_number() OVER (PARTITION BY rdomain ORDER BY doc_id)) <= 3 AS kept
+        |FROM d ORDER BY doc_id""".stripMargin,
     // q104 oracle: the q92 overlap matrix in SQL, thresholded on the
     // ROUNDED jaccard, then a recursive-CTE connected components with
     // min-id labels; singleton hosts label themselves

@@ -217,6 +217,29 @@ case class DictHits(child: Expression, dict: Seq[String])
     copy(child = c)
 }
 
+/** Registrable domain (eTLD+1) of a hostname per the Public Suffix
+  * List algorithm ([[graft.core.PublicSuffix]]) — NULL when the host
+  * is itself a public suffix (or an IPv4 literal), hence the explicit
+  * null-propagating codegen. The politeness-budget key that a spam
+  * farm's synthetic subdomains cannot multiply. */
+case class RegistrableDomain(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def checkInputDataTypes(): TypeCheckResult =
+    GraftExprChecks.requireString(prettyName, child)
+  override def nullable: Boolean = true
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "registrable_domain"
+  override protected def nullSafeEval(v: Any): Any =
+    graft.core.PublicSuffix.registrable(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.core.PublicSuffix.registrable($c);
+      ${ev.isNull} = ${ev.value} == null;
+    """)
+  override protected def withNewChildInternal(c: Expression): RegistrableDomain =
+    copy(child = c)
+}
+
 /** Charset detection over raw fetched page bytes (BOM → meta charset in
   * the first 1 KiB → UTF-8 validation → windows-1252 fallback; see
   * [[graft.core.CharsetSniff]]). */

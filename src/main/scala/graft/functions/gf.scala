@@ -25,6 +25,11 @@ object gf {
     * see [[graft.expr.DeflateRatio]]). */
   def deflate_ratio(text: Column): Column = column(DeflateRatio(expression(text)))
 
+  /** Registrable domain (eTLD+1) per the PSL algorithm — NULL when the
+    * host is itself a public suffix (see [[graft.expr.RegistrableDomain]]). */
+  def registrable_domain(host: Column): Column =
+    column(RegistrableDomain(expression(host)))
+
   /** One-pass facility-field probe over raw HTML (struct of all
     * page-level extraction layers — see [[graft.expr.HtmlFacilityProbe]]). */
   def html_probe(html: Column): Column = column(HtmlFacilityProbe(expression(html)))
@@ -231,5 +236,7 @@ object gf {
       es => MainContentExtract(es.head, 10, 0.33), "scala_udf")
     reg.createOrReplaceTempFunction("robots_decision",
       es => RobotsDecision(es(0), es(1), es(2)), "scala_udf")
+    reg.createOrReplaceTempFunction("registrable_domain",
+      es => RegistrableDomain(es.head), "scala_udf")
   }
 }
