@@ -27,7 +27,7 @@ object GenDriverFixtures {
     "q34_media_features", "q38_validation", "q40_ann_ivf", "q47_semdedup",
     "q73_audio_features", "q74_video_frames", "q75_css_extract",
     "q81_anchor_text", "q89_main_content", "q93_compression_quality",
-    "q94_markdown")
+    "q94_markdown", "q119_cdc_dedup")
 
   def main(args: Array[String]): Unit = {
     val out = if (args.nonEmpty) args(0) else fixtureDir

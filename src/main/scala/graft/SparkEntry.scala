@@ -2001,6 +2001,111 @@ object SparkEntry {
           Window.partitionBy("rdomain").orderBy("doc_id")) <= 3)
         .select("doc_id", "host", "rdomain", "domain_urls", "kept")
         .orderBy("doc_id")
+    }),
+
+    "q118_tdigest_quantiles" -> ((s, dir) => { // mergeable t-digest length profile
+      // The quantile member of the sketch family (core/TDigest,
+      // Dunning-Ertl): per-source token-length digests as STORED binary
+      // blobs that re-merge across rounds without rescanning text —
+      // exact per-group percentiles at 100 TB need a full per-group
+      // sort/value buffer; a digest is O(δ) bytes and map-side
+      // combinable. Digest merges are rank-error-invariant but NOT
+      // byte-invariant (unlike HLL/Bloom), so the oracled surface is
+      // the EXACT percentile profile (Spark percentile ≡ DuckDB
+      // quantile_cont, the q53 parity) and the digest path is asserted
+      // in-query (q101 pattern): per-source weights exact, estimate
+      // rank error within bounds, and a two-level fold (per-source →
+      // global) holding a tighter bound at the bigger n.
+      val docs = T(s, dir, "documents").select(col("source"),
+          TextOps.tokenCountWs(col("text")).cast("double").as("ws"))
+        .localCheckpoint(false) // feeds the agg and the rank probe
+      val per = docs.groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          percentile(col("ws"), lit(0.5)).as("p50_tokens"),
+          percentile(col("ws"), lit(0.9)).as("p90_tokens"),
+          gf.tdigest_agg(col("ws")).as("__dg"))
+        .localCheckpoint(false) // feeds the surface, the probe, the fold
+      val est = per.select(col("source"), col("n_docs"),
+        gf.tdigest_weight(col("__dg")).as("w"),
+        gf.tdigest_quantile(col("__dg"), lit(0.5)).as("e50"),
+        gf.tdigest_quantile(col("__dg"), lit(0.9)).as("e90"))
+      val probe = est.join(docs, Seq("source")).groupBy("source")
+        .agg(max("w").as("w"), max("n_docs").as("n_docs"),
+          avg((col("ws") <= col("e50")).cast("double")).as("r50"),
+          avg((col("ws") <= col("e90")).cast("double")).as("r90"))
+        .collect() // bounded by the source count
+      require(probe.nonEmpty)
+      probe.foreach { r =>
+        require(r.getAs[Long]("w") == r.getAs[Long]("n_docs"),
+          s"digest weight != doc count for ${r.getAs[String]("source")}")
+        val (r50, r90) = (r.getAs[Double]("r50"), r.getAs[Double]("r90"))
+        require(r50 >= 0.3 && r50 <= 0.7 && r90 >= 0.7,
+          s"rank error out of bounds for ${r.getAs[String]("source")}: " +
+            s"r50=$r50 r90=$r90")
+      }
+      val gRow = per.agg(gf.tdigest_merge_agg(col("__dg")).as("__dg"))
+        .select(gf.tdigest_weight(col("__dg")).as("w"),
+          gf.tdigest_quantile(col("__dg"), lit(0.5)).as("e50"))
+        .crossJoin(broadcast(docs.agg(count(lit(1)).as("n"))))
+        .head()
+      require(gRow.getAs[Long]("w") == gRow.getAs[Long]("n"),
+        "global fold lost weight")
+      val gRank = docs.agg(
+        avg((col("ws") <= lit(gRow.getAs[Double]("e50"))).cast("double")))
+        .head().getDouble(0)
+      require(math.abs(gRank - 0.5) <= 0.05,
+        s"global median rank error too large: $gRank")
+      per.select(col("source"), col("n_docs"),
+          col("p50_tokens"), col("p90_tokens"))
+        .orderBy("source")
+    }),
+
+    "q119_cdc_dedup" -> ((s, dir) => { // content-defined chunk dedup (FastCDC)
+      // The shift-invariant dedup candidate generator (core/Cdc gear
+      // hash): a banner/header prepended to a re-fetched page shifts
+      // every FIXED-size chunk boundary (zero hash matches) but
+      // content-defined boundaries re-synchronize within ~1 chunk, so
+      // the twin still shares most chunk hashes with the original.
+      // Twins are synthesized in-plan (doc_id%4==0 gets a planted
+      // banner prefix); both sides chunk in one codegen pass and meet
+      // in a hash+doc equi-join — the standard candidate-join shape.
+      // Chunk params (16/64/256) sized to the corpus's 60-600 B docs.
+      // Surface = per-twin chunk counts + hash-overlap fraction,
+      // fixture-pinned (boundaries aren't SQL-expressible); gates
+      // asserted in-query: re-sync overlap ≥ 0.5 on docs long enough
+      // to have ≥ 8 chunks, twin-population average ≥ 0.4.
+      val docs = T(s, dir, "documents").select("doc_id", "text")
+        .localCheckpoint(false)
+      val twins = docs.filter(pmod(col("doc_id"), lit(4)) === 0)
+        .select(col("doc_id"), concat(lit("PLANTED BANNER :: rev "),
+          col("doc_id").cast("string"), lit(" :: "), col("text")).as("text"))
+      def hashesOf(df: DataFrame): DataFrame = df
+        .select(col("doc_id"), explode(gf.cdc_chunks(col("text"),
+          min = 16, avg = 64, max = 256)).as("__c"))
+        .select(col("doc_id"), col("__c.hash").as("__h"))
+        .distinct()
+      val oh = hashesOf(docs).localCheckpoint(false)
+      val th = hashesOf(twins).localCheckpoint(false)
+      val res = oh.groupBy("doc_id").agg(count(lit(1)).as("n_orig"))
+        .join(th.groupBy("doc_id").agg(count(lit(1)).as("n_twin")), "doc_id")
+        .join(th.join(oh, Seq("doc_id", "__h"))
+          .groupBy("doc_id").agg(count(lit(1)).as("n_shared")),
+          Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_orig"), col("n_twin"),
+          round(coalesce(col("n_shared"), lit(0L)).cast("double")
+            / col("n_orig"), 4).as("overlap"))
+        .localCheckpoint(false)
+      val gate = res.agg(
+        avg("overlap").as("avgOv"),
+        min(when(col("n_orig") >= 8, col("overlap"))).as("minLongOv"),
+        count(lit(1)).as("nTwins")).head()
+      require(gate.getAs[Long]("nTwins") > 0)
+      require(gate.getAs[Double]("avgOv") >= 0.4,
+        s"avg twin overlap ${gate.getAs[Double]("avgOv")} < 0.4")
+      val minLong = gate.getAs[Double]("minLongOv")
+      require(minLong >= 0.5,
+        s"a >=8-chunk twin failed to re-sync: min overlap $minLong")
+      res.orderBy("doc_id")
     })
   )
 
@@ -2571,6 +2676,10 @@ object SparkEntry {
     // it reads the sf documents table and zlib is not SQL-expressible
     "q93_compression_quality" -> fixtureOracle("q93_compression_quality"),
     "q94_markdown" -> fixtureOracle("q94_markdown"),
+    // q119 fixture pinned at sf0.01 like q93 — gear-hash chunk
+    // boundaries aren't SQL-expressible; the shift-invariance gates run
+    // in-query and CdcSpec proves the kernel properties
+    "q119_cdc_dedup" -> fixtureOracle("q119_cdc_dedup"),
     // q95 oracle: the feed serialize→parse round trip must return exactly
     // the source rows — fmt/feed_url/title/published reconstructed by the
     // same deterministic formulas the synthesizer used (escape∘unescape
@@ -2989,6 +3098,19 @@ object SparkEntry {
         |  count(*) OVER (PARTITION BY rdomain) AS domain_urls,
         |  (row_number() OVER (PARTITION BY rdomain ORDER BY doc_id)) <= 3 AS kept
         |FROM d ORDER BY doc_id""".stripMargin,
+    // q118 oracle: the EXACT per-source percentile profile (Spark
+    // percentile ≡ DuckDB quantile_cont, the q53 parity); the t-digest
+    // path — weights, per-source rank bounds, two-level fold — is
+    // asserted in-query
+    "q118_tdigest_quantiles" ->
+      s"""SELECT source, count(*) AS n_docs,
+         | quantile_cont(ws, 0.5) AS p50_tokens,
+         | quantile_cont(ws, 0.9) AS p90_tokens
+         |FROM (SELECT source,
+         |  CASE WHEN length(trim(text)) = 0 THEN 0
+         |    ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS ws
+         | FROM documents)
+         |GROUP BY source ORDER BY source""".stripMargin,
     // q104 oracle: the q92 overlap matrix in SQL, thresholded on the
     // ROUNDED jaccard, then a recursive-CTE connected components with
     // min-id labels; singleton hosts label themselves

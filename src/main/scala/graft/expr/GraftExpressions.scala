@@ -143,6 +143,29 @@ case class RepetitionMetrics(child: Expression, topN: Int, dupN: Int)
     copy(child = c)
 }
 
+/** Content-defined chunks of the text's UTF-8 bytes (FastCDC gear-hash
+  * boundaries — see [[graft.core.Cdc]]): array of (start, len, hash)
+  * structs. Boundaries re-synchronize after insertions/deletions, so
+  * shifted near-duplicates share tail-chunk hashes — the candidate key
+  * for chunk-level dedup equi-joins. One byte pass, zero shuffle. */
+case class CdcChunks(child: Expression, min: Int, avg: Int, max: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("start", IntegerType, nullable = false),
+    StructField("len", IntegerType, nullable = false),
+    StructField("hash", LongType, nullable = false))), containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult =
+    GraftExprChecks.requireString(prettyName, child)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "cdc_chunks"
+  override protected def nullSafeEval(v: Any): Any =
+    graft.core.Cdc.chunkText(v.asInstanceOf[UTF8String], min, avg, max)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.core.Cdc.chunkText($c, $min, $avg, $max)")
+  override protected def withNewChildInternal(c: Expression): CdcChunks =
+    copy(child = c)
+}
+
 /** Main-content extraction by block text/link density (Kohlschütter et
   * al. WSDM 2010 shallow features over the HtmlDom — see
   * [[graft.core.MainContent]] for the deterministic rule set). One

@@ -91,6 +91,30 @@ object gf {
   def hll_estimate(sketch: Column): Column =
     column(HllEstimate(expression(sketch)))
 
+  /** t-digest quantile sketch of DOUBLE values (rank error O(1/δ);
+    * see [[graft.expr.TDigestAgg]]). Returns a binary blob. */
+  def tdigest_agg(values: Column, delta: Double = 100.0): Column =
+    column(TDigestAgg(expression(values), delta).toAggregateExpression())
+
+  /** Fold same-δ digest blobs — two-level / incremental quantile state
+    * (rank-error bound preserved; bytes are merge-order-dependent). */
+  def tdigest_merge_agg(digests: Column): Column =
+    column(TDigestMergeAgg(expression(digests)).toAggregateExpression())
+
+  /** Interpolated quantile estimate from a digest blob. */
+  def tdigest_quantile(sketch: Column, q: Column): Column =
+    column(TDigestQuantile(expression(sketch), expression(q)))
+
+  /** Total observation count of a digest blob. */
+  def tdigest_weight(sketch: Column): Column =
+    column(TDigestWeight(expression(sketch)))
+
+  /** Content-defined (FastCDC) chunks of the text's UTF-8 bytes —
+    * array<struct<start,len,hash>> (see [[graft.expr.CdcChunks]]). */
+  def cdc_chunks(text: Column, min: Int = 64, avg: Int = 256,
+                 max: Int = 1024): Column =
+    column(CdcChunks(expression(text), min, avg, max))
+
   /** Multi-column link Generator: a row per `<a href>` anchor —
     * (href, anchor_text, rel) in one html pass (SURVEY.md C26 + the
     * anchor-text half of F3). Use in select() like explode(). */
@@ -238,5 +262,9 @@ object gf {
       es => RobotsDecision(es(0), es(1), es(2)), "scala_udf")
     reg.createOrReplaceTempFunction("registrable_domain",
       es => RegistrableDomain(es.head), "scala_udf")
+    reg.createOrReplaceTempFunction("tdigest_quantile",
+      es => TDigestQuantile(es(0), es(1)), "scala_udf")
+    reg.createOrReplaceTempFunction("tdigest_weight",
+      es => TDigestWeight(es.head), "scala_udf")
   }
 }

@@ -45,7 +45,8 @@ class PlanGuardSpec extends SparkTestBase {
     "q78_bigram_nll",      // unigram total (Tfidf.scala BigramLm)
     "q108_trigram_nll",    // unigram total (Tfidf.scala TrigramLm)
     "q113_stupid_backoff", // model token total (Tfidf.scala StupidBackoff)
-    "q116_kneser_ney"      // bigram-type total N1+(··) (Tfidf.scala KneserNey)
+    "q116_kneser_ney",     // bigram-type total N1+(··) (Tfidf.scala KneserNey)
+    "q118_tdigest_quantiles" // corpus doc-count scalar for the fold gate
   )
 
   /** Static SMJ where AQE re-plans at runtime (see scaladoc). */
