@@ -2106,6 +2106,33 @@ object SparkEntry {
       require(minLong >= 0.5,
         s"a >=8-chunk twin failed to re-sync: min overlap $minLong")
       res.orderBy("doc_id")
+    }),
+
+    "q120_adaptive_quality" -> ((s, dir) => { // adaptive per-source quality gate
+      // q60's global threshold made ADAPTIVE (the FineWeb refinement):
+      // each source drops its own worst quartile — threshold = that
+      // source's p25 quality. Verdicts compare the ROUNDED score to
+      // the ROUNDED threshold (the q54/q60 lesson), and exact
+      // percentile ≡ quantile_cont (the q53 parity) makes the whole
+      // surface SQL-oracle-able. The 100 TB shape swaps the exact
+      // per-source percentile for the q118 digest column — asserted
+      // equivalent here in-query (digest p25 within 0.1 of exact in a
+      // [0,1] score space; the per-source thresholds join back
+      // broadcast, bounded by the source count).
+      val d = T(s, dir, "documents").select(col("doc_id"), col("source"),
+          TextOps.qualityScore(col("text")).as("__q"))
+        .localCheckpoint(false) // feeds the threshold agg and the verdicts
+      val thr = d.groupBy("source").agg(
+        round(percentile(col("__q"), lit(0.25)), 4).as("src_p25"),
+        gf.tdigest_quantile(gf.tdigest_agg(col("__q")), lit(0.25)).as("__e25"))
+      val agree = thr.agg(
+        max(abs(col("__e25") - col("src_p25"))).as("maxDev")).head()
+      require(agree.getAs[Double]("maxDev") <= 0.1,
+        s"digest p25 deviates from exact: ${agree.getAs[Double]("maxDev")}")
+      d.join(broadcast(thr.drop("__e25")), Seq("source"))
+        .select(col("doc_id"), col("source"), col("src_p25"),
+          (round(col("__q"), 4) >= col("src_p25")).as("kept"))
+        .orderBy("doc_id")
     })
   )
 
@@ -3321,6 +3348,18 @@ object SparkEntry {
          |    CAST(count(*) AS BIGINT) AS src_docs FROM s GROUP BY source)
          |SELECT doc_id, source, src_mean_q, src_docs FROM s JOIN g USING (source)
          |WHERE src_mean_q >= 0.76 ORDER BY doc_id""".stripMargin,
+    // q120 oracle: per-source p25 threshold replayed exactly —
+    // quantile_cont ≡ percentile (q53), verdict on ROUNDED score vs
+    // ROUNDED threshold (q54/q60 lesson); the digest-estimate
+    // agreement is asserted in-query
+    "q120_adaptive_quality" ->
+      s"""WITH w AS (SELECT doc_id, source, text, $wordsSql AS words
+         |  FROM documents),
+         |s AS (SELECT doc_id, source, ${qualitySqlOver("words")} AS q FROM w),
+         |g AS (SELECT source, round(quantile_cont(q, 0.25), 4) AS src_p25
+         |  FROM s GROUP BY source)
+         |SELECT doc_id, source, src_p25, round(q, 4) >= src_p25 AS kept
+         |FROM s JOIN g USING (source) ORDER BY doc_id""".stripMargin,
     // q61 oracle: identical md5-rank window cumsum and budget cut
     "q61_token_budget" ->
       """WITH t AS (SELECT doc_id, lang,
