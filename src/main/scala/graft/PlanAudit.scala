@@ -105,7 +105,8 @@ object PlanAudit {
     println("==== pagerank iteration: edge⋈rank equi-join + dst hash agg, 1-row dangling/N broadcasts ====")
     val prNodes = docs.select($"doc_id".as("id"))
     val prEdges = prNodes.filter(pmod($"id", lit(10)) =!= 7)
-      .select($"id".as("src"), pmod($"id" * 17 + 31, lit(500L)).as("dst"))
+      .select($"id".as("src"),
+        pmod(xxhash64($"id"), lit(500L)).as("dst")) // hash-mix, never id*k+j (ANSI)
     graft.graph.PageRank.run(prNodes, "id", prEdges, "src", "dst",
       damping = 0.85, iters = 1, checkpointRounds = false)
       .explain("formatted")
@@ -153,6 +154,48 @@ object PlanAudit {
       wdir, nFiles = 2)
     graft.sources.Warc.fetchRanged(
       graft.sources.Warc.readCdx(spark, wdir).limit(10)).explain("formatted")
+
+    // ---- round-4 operators ----
+    println("==== PQ encode: one projection over the vector scan (no shuffle) ====")
+    val vecs = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select($"vec_id", $"embedding")
+    val cb = graft.ann.Pq.train(vecs, "vec_id", "embedding", 64, 8, 16, 1)
+    val codes = graft.ann.Pq.encode(vecs, "vec_id", "embedding", cb)
+    codes.explain("formatted")
+
+    println("==== PQ ADC scan: code column only + per-query LUT lookups (no vector math) ====")
+    val lut = graft.ann.Pq.lutFor(Seq.fill(64)(0.0), cb)
+    codes.select($"vec_id", graft.ann.Pq.adcDist($"codes", lut).as("adc"))
+      .explain("formatted")
+
+    println("==== Kneser-Ney: model tables joined on term keys, hinted SHJ spine ====")
+    graft.text.KneserNey.score(
+      docs.filter($"doc_id" % 2 === 1), docs.filter($"doc_id" % 2 === 0),
+      "doc_id", "text").explain("formatted")
+
+    println("==== registrable-domain budgets: codegen eTLD+1 key + PARTITIONED windows ====")
+    docs.select($"doc_id",
+        concat(lit("a"), pmod($"doc_id", lit(7)).cast("string"),
+          lit(".spam"), pmod($"doc_id", lit(3)).cast("string"),
+          lit(".co.uk")).as("host"))
+      .withColumn("rd", gf.registrable_domain($"host"))
+      .withColumn("n", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("rd")))
+      .explain("formatted")
+
+    println("==== t-digest two-level: PARTIAL tdigest_agg before the exchange (blobs cross the wire, not values) ====")
+    spark.read.parquet(s"$dir/documents.parquet")
+      .select($"source", graft.text.TextOps.tokenCountWs($"text")
+        .cast("double").as("ws"))
+      .groupBy("source").agg(gf.tdigest_agg($"ws").as("dg"))
+      .agg(gf.tdigest_merge_agg($"dg")).explain("formatted")
+
+    println("==== CDC chunk dedup: codegen chunker + chunk-hash equi-join (AQE decides build side) ====")
+    val ch = docs.select($"doc_id",
+      explode(gf.cdc_chunks($"text", 16, 64, 256)).as("c"))
+      .select($"doc_id", $"c.hash".as("h")).distinct()
+    ch.join(ch.withColumnRenamed("doc_id", "other"), Seq("h"))
+      .filter($"doc_id" < $"other").explain("formatted")
 
     spark.stop()
   }
