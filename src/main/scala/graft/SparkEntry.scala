@@ -2133,6 +2133,53 @@ object SparkEntry {
         .select(col("doc_id"), col("source"), col("src_p25"),
           (round(col("__q"), 4) >= col("src_p25")).as("kept"))
         .orderBy("doc_id")
+    }),
+
+    "q121_freq_sketch" -> ((s, dir) => { // count-min point-frequency sketches
+      // The point-frequency member of the sketch family (core/CountMin):
+      // SpaceSaving (q84) answers "which tokens are frequent"; count-min
+      // answers "how frequent is THIS token" for probe sets unknown at
+      // scan time (fresh spam lists, yesterday's trending grams) — at
+      // 100 TB the exact answer needs the full per-token count table,
+      // the sketch is d·w longs built map-side-combinable in one pass.
+      // The oracled surface is the exact top-20 token profile; the
+      // sketch path is asserted in-query (q101/q118 pattern): the
+      // per-source→global fold is BYTE-identical to the one-shot build
+      // (vector-add merge, the counting-Bloom property), total weight
+      // exact, every surfaced token's estimate one-sided within ε·N,
+      // and an absent token stays under ε·N.
+      val toks = T(s, dir, "documents")
+        .select(col("source"), explode(TextOps.words(col("text"))).as("tok"))
+        .localCheckpoint(false) // feeds exact counts + both sketch builds
+      val exact = toks.groupBy("tok").agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("tok")).limit(20)
+        .localCheckpoint(false) // surface + probe set
+      val direct = toks
+        .agg(gf.count_min_agg(xxhash64(col("tok")), lit(1L)).as("sk"))
+        .head().getAs[Array[Byte]]("sk")
+      val folded = toks.groupBy("source")
+        .agg(gf.count_min_agg(xxhash64(col("tok")), lit(1L)).as("sk"))
+        .agg(gf.count_min_merge_agg(col("sk")).as("sk"))
+        .head().getAs[Array[Byte]]("sk")
+      require(java.util.Arrays.equals(direct, folded),
+        "per-source fold != one-shot sketch (vector-add merge broken)")
+      val n = toks.count()
+      require(graft.core.CountMin.totalBytes(direct) == n, "sketch lost weight")
+      val epsN = math.ceil(graft.core.CountMin.epsilon(256) * n).toLong
+      val probes = exact.withColumn("est",
+        gf.count_min_query(lit(direct), xxhash64(col("tok")))).collect()
+      require(probes.nonEmpty)
+      probes.foreach { r =>
+        val (c, e) = (r.getAs[Long]("cnt"), r.getAs[Long]("est"))
+        require(e >= c, s"undercount for ${r.getAs[String]("tok")}: $e < $c")
+        require(e <= c + epsN,
+          s"overcount for ${r.getAs[String]("tok")}: $e > $c + $epsN")
+      }
+      val absent = exact.limit(1).select(
+        gf.count_min_query(lit(direct), xxhash64(lit("zzzneverseen"))))
+        .head().getLong(0)
+      require(absent <= epsN, s"absent-token estimate $absent > eps*N $epsN")
+      exact.orderBy(col("cnt").desc, col("tok"))
     })
   )
 
@@ -3138,6 +3185,14 @@ object SparkEntry {
          |    ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS ws
          | FROM documents)
          |GROUP BY source ORDER BY source""".stripMargin,
+    // q121 oracle: the exact top-20 token counts (tie-broken on token);
+    // the count-min path — byte-identical fold, one-sided ε·N bounds,
+    // absent-token probe — is asserted in-query
+    "q121_freq_sketch" ->
+      s"""WITH w AS (SELECT $duckWords AS words FROM documents),
+         |t AS (SELECT unnest(words) AS tok FROM w)
+         |SELECT tok, count(*) AS cnt FROM t GROUP BY tok
+         |ORDER BY cnt DESC, tok LIMIT 20""".stripMargin,
     // q104 oracle: the q92 overlap matrix in SQL, thresholded on the
     // ROUNDED jaccard, then a recursive-CTE connected components with
     // min-id labels; singleton hosts label themselves

@@ -109,6 +109,27 @@ object gf {
   def tdigest_weight(sketch: Column): Column =
     column(TDigestWeight(expression(sketch)))
 
+  /** Count-min point-frequency sketch of pre-hashed LONG keys with LONG
+    * weights (estimate ≥ true, ≤ true + (e/w)·N w.p. ≥ 1 − e^−d; see
+    * [[graft.expr.CountMinAgg]]). Returns a binary blob. */
+  def count_min_agg(hashedKeys: Column, weight: Column,
+                    depth: Int = 4, width: Int = 256): Column =
+    column(CountMinAgg(expression(hashedKeys), expression(weight),
+      depth, width).toAggregateExpression())
+
+  /** Vector-add fold of same-shape count-min blobs — incremental /
+    * two-level frequency state, ≡ one-shot build byte-identically. */
+  def count_min_merge_agg(sketches: Column): Column =
+    column(CountMinMergeAgg(expression(sketches)).toAggregateExpression())
+
+  /** Point-frequency estimate of a pre-hashed key from a sketch blob. */
+  def count_min_query(sketch: Column, hashedKey: Column): Column =
+    column(CountMinQuery(expression(sketch), expression(hashedKey)))
+
+  /** Total added weight N of a count-min blob. */
+  def count_min_total(sketch: Column): Column =
+    column(CountMinTotal(expression(sketch)))
+
   /** Content-defined (FastCDC) chunks of the text's UTF-8 bytes —
     * array<struct<start,len,hash>> (see [[graft.expr.CdcChunks]]). */
   def cdc_chunks(text: Column, min: Int = 64, avg: Int = 256,
@@ -266,5 +287,9 @@ object gf {
       es => TDigestQuantile(es(0), es(1)), "scala_udf")
     reg.createOrReplaceTempFunction("tdigest_weight",
       es => TDigestWeight(es.head), "scala_udf")
+    reg.createOrReplaceTempFunction("count_min_query",
+      es => CountMinQuery(es(0), es(1)), "scala_udf")
+    reg.createOrReplaceTempFunction("count_min_total",
+      es => CountMinTotal(es.head), "scala_udf")
   }
 }
