@@ -2180,6 +2180,185 @@ object SparkEntry {
         .head().getLong(0)
       require(absent <= epsN, s"absent-token estimate $absent > eps*N $epsN")
       exact.orderBy(col("cnt").desc, col("tok"))
+    }),
+
+    "q122_set_sketch" -> ((s, dir) => { // KMV/theta set-operation sketches
+      // The SET-OPERATION member of the sketch family (core/Kmv): HLL
+      // (q101) counts distincts but its registers can't be intersected;
+      // a KMV sketch (k smallest hash values) estimates UNION,
+      // INTERSECTION, and JACCARD between sources from the per-source
+      // sketches alone — the cross-corpus mixture diagnostic (q92's
+      // matrix) without the exact distinct-gram pair join, which at
+      // 100 TB shuffles the full gram table. Per-source sketches are
+      // k longs each and live happily in a metastore.
+      // Oracled surface: the EXACT pairwise overlap matrix (q92 shape
+      // + union_cnt). Sketch path asserted in-query (q101/q118/q121
+      // pattern): per-bucket fold ≡ one-shot BYTE-identically
+      // (k-smallest-of-union merge), distinct/jaccard/union/intersect
+      // estimates exact below k and inside 5σ bands at capacity.
+      val K = 1024
+      val sg = T(s, dir, "documents")
+        .select(col("source"),
+          explode(TextOps.wordNgrams(TextOps.words(col("text")), 3)).as("g"))
+        .distinct()
+        .withColumn("h", xxhash64(col("g")))
+        .localCheckpoint(false) // feeds exact matrix + both sketch builds
+      val counts = sg.groupBy("source").agg(count(lit(1)).as("__n"))
+      val exact = sg.as("a")
+        .join(sg.as("b"),
+          col("a.g") === col("b.g") && col("a.source") < col("b.source"))
+        .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
+        .agg(count(lit(1)).as("shared"))
+        .join(counts.select(col("source").as("src_a"), col("__n").as("__na")), Seq("src_a"))
+        .join(counts.select(col("source").as("src_b"), col("__n").as("__nb")), Seq("src_b"))
+        .select(col("src_a"), col("src_b"), col("shared"),
+          (col("__na") + col("__nb") - col("shared")).as("union_cnt"),
+          round(col("shared").cast("double") /
+            (col("__na") + col("__nb") - col("shared")), 6).as("jaccard"))
+        .localCheckpoint(false) // surface + sketch-assert spine
+      val sketches = sg.groupBy("source")
+        .agg(gf.kmv_agg(col("h"), K).as("sk"))
+        .localCheckpoint(false) // pair probes join it twice
+      // (1) fold ≡ one-shot, byte-identical per source
+      val folded = sg.groupBy(col("source"), pmod(col("h"), lit(8)).as("__b"))
+        .agg(gf.kmv_agg(col("h"), K).as("sk"))
+        .groupBy("source").agg(gf.kmv_merge_agg(col("sk")).as("sk"))
+      sketches.as("x").join(folded.as("y"), "source")
+        .select(col("source"), col("x.sk").as("a"), col("y.sk").as("b"))
+        .collect().foreach { r => // ≤ #sources rows (sources are dumps)
+          require(java.util.Arrays.equals(
+            r.getAs[Array[Byte]]("a"), r.getAs[Array[Byte]]("b")),
+            s"per-bucket fold != one-shot KMV for ${r.getAs[String]("source")}")
+        }
+      // (2) distinct estimates: exact below k, 5σ band at capacity
+      sketches.join(counts, "source")
+        .select(col("source"), col("__n"),
+          gf.kmv_distinct(col("sk")).as("est"), gf.kmv_size(col("sk")).as("sz"))
+        .collect().foreach { r =>
+          val (n, est, sz) = (r.getAs[Long]("__n"), r.getAs[Long]("est"), r.getAs[Long]("sz"))
+          if (sz < K) require(est == n, s"exact-regime distinct $est != $n")
+          else require(math.abs(est - n) <= 5.0 * n / math.sqrt(K - 2.0),
+            s"distinct est $est vs $n outside 5σ for ${r.getAs[String]("source")}")
+        }
+      // (3) pairwise set estimates vs the exact matrix (equi-joins on the
+      // matrix spine — never a sketch×sketch non-equi join)
+      exact
+        .join(sketches.select(col("source").as("src_a"), col("sk").as("ska")), Seq("src_a"))
+        .join(sketches.select(col("source").as("src_b"), col("sk").as("skb")), Seq("src_b"))
+        .select(col("src_a"), col("src_b"), col("shared"), col("union_cnt"),
+          gf.kmv_jaccard(col("ska"), col("skb")).as("jest"),
+          gf.kmv_union_distinct(col("ska"), col("skb")).as("uest"),
+          gf.kmv_intersect_distinct(col("ska"), col("skb")).as("xest"),
+          (greatest(gf.kmv_size(col("ska")), gf.kmv_size(col("skb"))) < K).as("ex"))
+        .collect().foreach { r => // ≤ #sources² rows
+          val (sh, un) = (r.getAs[Long]("shared"), r.getAs[Long]("union_cnt"))
+          val (je, ue, xe) = (r.getAs[Double]("jest"), r.getAs[Long]("uest"), r.getAs[Long]("xest"))
+          val jTrue = sh.toDouble / un
+          val pair = s"${r.getAs[String]("src_a")}/${r.getAs[String]("src_b")}"
+          if (r.getAs[Boolean]("ex")) { // both sketches exact ⇒ estimates exact
+            require(ue == un && xe == sh && je == jTrue, s"exact-regime pair $pair off")
+          } else {
+            require(math.abs(je - jTrue) <= 5.0 * math.sqrt(jTrue * (1 - jTrue) / K) + 0.01,
+              s"jaccard est $je vs $jTrue outside 5σ for $pair")
+            require(math.abs(ue - un) <= 5.0 * un / math.sqrt(K - 2.0),
+              s"union est $ue vs $un outside 5σ for $pair")
+            require(math.abs(xe - sh) <= 0.1 * un + 2,
+              s"intersect est $xe vs $sh (union $un) for $pair")
+          }
+        }
+      exact.orderBy("src_a", "src_b")
+    }),
+
+    "q123_trustrank" -> ((s, dir) => { // TrustRank seed-propagated trust
+      // Personalized PageRank with the teleport concentrated on a
+      // vetted seed set (Gyöngyi et al. VLDB'04): trust flows along
+      // links from seeds and decays with distance — the spam-demotion
+      // rank plain PageRank (q76) lacks (a link farm reachable from no
+      // seed scores ≈ 0 here however densely it self-links). Same
+      // deterministic q76 graph; seeds = doc_id % 17 == 3; dangling
+      // mass restarts AT SEEDS (the personalized convention). Oracle =
+      // the identical 5 iterations unrolled in SQL, both engines
+      // rounding to 7 dp (the q76 parity argument).
+      val nodes = T(s, dir, "documents").select("doc_id")
+      val edges = synthGraphEdges(nodes)
+      val seeds = nodes.filter(pmod(col("doc_id"), lit(17)) === 3)
+      val sRow = broadcast(seeds.agg(count(lit(1)).cast("double").as("__s")))
+      val teleport = seeds.crossJoin(sRow)
+        .select(col("doc_id"), (lit(1.0) / col("__s")).as("w"))
+      graph.PageRank.runPersonalized(nodes, "doc_id", edges, "src", "dst",
+          teleport, "w", damping = 0.85, iters = 5)
+        .select(col("doc_id"),
+          (pmod(col("doc_id"), lit(17)) === 3).as("is_seed"),
+          round(col("trustrank"), 7).as("trustrank"))
+        .orderBy("doc_id")
+    }),
+
+    "q124_powerlaw" -> ((s, dir) => { // in-degree power-law tail exponent
+      // The scale-free diagnostic of the link graph (Broder et al.
+      // WWW'00: web in-degrees follow a power law, α ≈ 2.1): the
+      // continuous-MLE Hill/CSN estimator (Clauset, Shalizi & Newman
+      // SIAM'09 eq. 3.1) α̂ = 1 + n / Σ ln(dᵢ/x_min) over the tail
+      // dᵢ ≥ x_min. A crawl monitor watches α̂ drift per snapshot:
+      // a collapsing exponent means a link farm / crawler trap is
+      // inflating the tail. One degree agg + one 1-row agg — no
+      // driver math. Σ ln > 0 is structural here (the synthetic graph
+      // hashes ~3N edges over N targets, so in-degrees ≥ 3 abound).
+      val nodes = T(s, dir, "documents").select("doc_id")
+      val indeg = synthGraphEdges(nodes)
+        .groupBy("dst").agg(count(lit(1)).as("d"))
+      indeg.agg(
+          count(lit(1)).as("n_linked"),
+          max(col("d")).as("max_indeg"),
+          count(when(col("d") >= 2, 1)).as("n_tail"),
+          sum(when(col("d") >= 2, log(col("d").cast("double") / 2.0))).as("__s"))
+        .select(col("n_linked"), col("max_indeg"), col("n_tail"),
+          round(lit(1.0) + col("n_tail") / col("__s"), 6).as("alpha"))
+    }),
+
+    "q125_rendezvous" -> ((s, dir) => { // HRW/rendezvous shard assignment
+      // Highest-random-weight hashing (Thaler & Ravishankar '98, the
+      // consistent-hashing family): shard(key) = argmax over shards of
+      // h(key, shard). Growing S → S+1 shards moves ONLY the keys the
+      // new shard wins — an expected 1/(S+1) of the store, vs ~all keys
+      // under mod-S — so a 100 TB bucketed page store can add shards
+      // without a full rewrite. Portable md5 60-bit hash so the oracle
+      // recomputes the assignment bit-for-bit; the HRW minimal-movement
+      // invariant (every moved key lands on the NEW shard) is asserted
+      // in-query on top of the full per-key oracle.
+      val S = 16
+      val asg = T(s, dir, "documents")
+        .select(col("doc_id"),
+          concat(lit("doc:"), col("doc_id").cast("string")).as("key"))
+        .select(col("doc_id"), col("key"),
+          explode(sequence(lit(0), lit(S))).as("shard")) // 0..S = S+1 candidates
+        .withColumn("h", graft.dedup.NearDup.md5TokenHash(
+          concat(col("key"), lit("#"), col("shard").cast("string"))))
+        .groupBy("doc_id").agg(
+          max(when(col("shard") < S, struct(col("h"), col("shard")))).as("b"),
+          max(struct(col("h"), col("shard"))).as("a"))
+        .select(col("doc_id"),
+          col("b.shard").cast("long").as("shard_before"), // INT→LONG: the
+          col("a.shard").cast("long").as("shard_after"))  // size()/len() lesson
+        .withColumn("moved", col("shard_before") =!= col("shard_after"))
+        .localCheckpoint(false) // surface + invariant check
+      require(asg.filter(col("moved") && col("shard_after") =!= S).isEmpty,
+        "HRW broke minimal movement: a moved key landed on an OLD shard")
+      asg.orderBy("doc_id")
+    }),
+
+    "q126_seed_distance" -> ((s, dir) => { // BFS hop distance from seeds
+      // The discrete half of the q123 trust pair: shortest hop count
+      // from any trusted seed (doc_id % 17 == 3, the SAME seed set),
+      // capped at 4 levels — the crawl scheduler's "hop band" signal.
+      // graph/Bfs expands only the newest frontier level per round.
+      // Oracle = the identical 4 levels unrolled in SQL (integer min
+      // over unions — no float parity question at all).
+      val nodes = T(s, dir, "documents").select("doc_id")
+      val edges = synthGraphEdges(nodes)
+      val seeds = nodes.filter(pmod(col("doc_id"), lit(17)) === 3)
+      graph.Bfs.seedHops(nodes, "doc_id", edges, "src", "dst",
+          seeds, maxHops = 4)
+        .orderBy("doc_id")
     })
   )
 
@@ -2594,6 +2773,37 @@ object SparkEntry {
        |SELECT id AS doc_id, round(r, 7) AS pagerank FROM r5
        |ORDER BY doc_id""".stripMargin
 
+  /** q123 oracle: the q76 graph with the teleport/dangling vector
+    * replaced by the seed trust distribution — 5 unrolled iterations,
+    * the identical left-assoc double arithmetic, rounded at 7 dp. */
+  private def q123OracleSql: String = {
+    val iters = (1 to 5).map { k =>
+      val p = s"t${k - 1}"
+      s"""t$k AS (
+         | SELECT ids.id,
+         |   (1 - 0.85)*dv.w
+         |   + 0.85*( coalesce(inb.s, 0)
+         |     + (SELECT coalesce(sum(r), 0) FROM $p
+         |        WHERE id NOT IN (SELECT src FROM deg)) * dv.w
+         |   ) AS r
+         | FROM ids JOIN dv USING (id) LEFT JOIN (
+         |   SELECT e.dst AS id, sum(p.r / deg.d) AS s
+         |   FROM e JOIN $p p ON e.src = p.id JOIN deg ON deg.src = e.src
+         |   GROUP BY e.dst) inb USING (id))""".stripMargin
+    }.mkString(",\n")
+    s"""WITH ids AS (SELECT doc_id AS id FROM documents),
+       |$synthEdgeSql,
+       |deg AS (SELECT src, count(*)::DOUBLE AS d FROM e GROUP BY src),
+       |sn AS (SELECT count(*)::DOUBLE AS n FROM ids WHERE id % 17 = 3),
+       |dv AS (SELECT id, CASE WHEN id % 17 = 3
+       |    THEN 1.0/(SELECT n FROM sn) ELSE 0.0 END AS w FROM ids),
+       |t0 AS (SELECT id, w AS r FROM dv),
+       |$iters
+       |SELECT id AS doc_id, (id % 17 = 3) AS is_seed,
+       |  round(r, 7) AS trustrank
+       |FROM t5 ORDER BY doc_id""".stripMargin
+  }
+
   /** q106 oracle: the q76 ranks windowed per source — top-3 by the
     * ROUNDED rank (the q54 tie-break lesson), doc_id ascending. */
   private def q106OracleSql: String =
@@ -2949,6 +3159,7 @@ object SparkEntry {
     // both engines round the final rank to 7 dp (double sum-order ulps
     // are ~1e-16, nine orders below the rounding grain)
     "q76_pagerank" -> q76OracleSql,
+    "q123_trustrank" -> q123OracleSql,
     "q103_hits" -> q103OracleSql,
     "q106_rank_priority" -> q106OracleSql,
     // q107 oracle: identical planted license block, positional 40-char
@@ -3193,6 +3404,71 @@ object SparkEntry {
          |t AS (SELECT unnest(words) AS tok FROM w)
          |SELECT tok, count(*) AS cnt FROM t GROUP BY tok
          |ORDER BY cnt DESC, tok LIMIT 20""".stripMargin,
+    // q122 oracle: the exact pairwise overlap matrix (q92 + union_cnt);
+    // the KMV path — byte-identical fold, exact-below-k, 5σ set-estimate
+    // bands — is asserted in-query
+    "q122_set_sketch" ->
+      s"""WITH w AS (SELECT source, $duckWords AS words FROM documents),
+         |g AS (SELECT DISTINCT source, array_to_string(words[i:i+2], ' ') AS g
+         |  FROM w, unnest(range(1, len(words) - 1)) AS t(i)),
+         |c AS (SELECT source, count(*) AS n FROM g GROUP BY source),
+         |sh AS (SELECT a.source AS sa, b.source AS sb, count(*) AS shared
+         |  FROM g a JOIN g b ON a.g = b.g AND a.source < b.source
+         |  GROUP BY 1, 2)
+         |SELECT sa AS src_a, sb AS src_b, CAST(shared AS BIGINT) AS shared,
+         |  CAST(ca.n + cb.n - shared AS BIGINT) AS union_cnt,
+         |  round(CAST(shared AS DOUBLE) / (ca.n + cb.n - shared), 6) AS jaccard
+         |FROM sh JOIN c ca ON ca.source = sh.sa JOIN c cb ON cb.source = sh.sb
+         |ORDER BY src_a, src_b""".stripMargin,
+    // q124 oracle: the same in-degree table and CSN continuous-MLE
+    // α̂ = 1 + n/Σln(d/x_min) recomputed in SQL; both engines divide
+    // as DOUBLE and round α̂ at 6 dp (sum-order ulps ~1e-13)
+    "q124_powerlaw" ->
+      s"""WITH ids AS (SELECT doc_id AS id FROM documents),
+         |$synthEdgeSql,
+         |ind AS (SELECT dst, count(*) AS d FROM e GROUP BY dst)
+         |SELECT CAST(count(*) AS BIGINT) AS n_linked,
+         |  CAST(max(d) AS BIGINT) AS max_indeg,
+         |  CAST(count(CASE WHEN d >= 2 THEN 1 END) AS BIGINT) AS n_tail,
+         |  round(1.0 + CAST(count(CASE WHEN d >= 2 THEN 1 END) AS DOUBLE)
+         |    / sum(CASE WHEN d >= 2 THEN ln(CAST(d AS DOUBLE) / 2) END), 6)
+         |    AS alpha
+         |FROM ind""".stripMargin,
+    // q125 oracle: the full HRW assignment recomputed per key from the
+    // portable md5 60-bit hash (arg_max over candidate shards at S and
+    // S+1); the minimal-movement invariant is asserted in-query
+    "q125_rendezvous" ->
+      """WITH k AS (SELECT doc_id, 'doc:' || doc_id::VARCHAR AS key FROM documents),
+        |c AS (SELECT doc_id, v.shard,
+        |   CAST('0x' || substring(md5(key || '#' || v.shard::VARCHAR), 1, 15)
+        |        AS BIGINT) AS h
+        | FROM k, unnest(range(0, 17)) AS v(shard)),
+        |a AS (SELECT doc_id,
+        |   CAST(arg_max(shard, h) FILTER (WHERE shard < 16) AS BIGINT) AS shard_before,
+        |   CAST(arg_max(shard, h) AS BIGINT) AS shard_after
+        | FROM c GROUP BY doc_id)
+        |SELECT doc_id, shard_before, shard_after,
+        |  (shard_before <> shard_after) AS moved
+        |FROM a ORDER BY doc_id""".stripMargin,
+    // q126 oracle: 4 unrolled BFS levels — each level = min(hop) over
+    // (previous state ∪ dst-of-last-level) — then −1 for unreached
+    "q126_seed_distance" -> {
+      val levels = (1 to 4).map { k =>
+        s"""h$k AS (SELECT id, min(hop) AS hop FROM (
+           |  SELECT id, hop FROM h${k - 1}
+           |  UNION ALL
+           |  SELECT e.dst AS id, ${k} AS hop
+           |  FROM e JOIN h${k - 1} p ON e.src = p.id WHERE p.hop = ${k - 1}
+           |) GROUP BY id)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH ids AS (SELECT doc_id AS id FROM documents),
+         |$synthEdgeSql,
+         |h0 AS (SELECT id, 0 AS hop FROM ids WHERE id % 17 = 3),
+         |$levels
+         |SELECT ids.id AS doc_id,
+         |  CAST(coalesce(h4.hop, -1) AS BIGINT) AS hop
+         |FROM ids LEFT JOIN h4 USING (id) ORDER BY doc_id""".stripMargin
+    },
     // q104 oracle: the q92 overlap matrix in SQL, thresholded on the
     // ROUNDED jaccard, then a recursive-CTE connected components with
     // min-id labels; singleton hosts label themselves

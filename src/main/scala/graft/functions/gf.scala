@@ -130,6 +130,38 @@ object gf {
   def count_min_total(sketch: Column): Column =
     column(CountMinTotal(expression(sketch)))
 
+  /** KMV / theta set sketch of pre-hashed LONG keys — the k smallest
+    * distinct hash values; exact below k (see [[graft.expr.KmvAgg]]).
+    * Unlike HLL, supports set operations: jaccard / union / intersect
+    * estimates between two sketches. Returns a binary blob. */
+  def kmv_agg(hashedKeys: Column, k: Int = 1024): Column =
+    column(KmvAgg(expression(hashedKeys), k).toAggregateExpression())
+
+  /** k-smallest-of-union fold of same-k KMV blobs — incremental /
+    * two-level distinct state, ≡ one-shot build byte-identically. */
+  def kmv_merge_agg(sketches: Column): Column =
+    column(KmvMergeAgg(expression(sketches)).toAggregateExpression())
+
+  /** Distinct-count estimate of a KMV blob (exact below k). */
+  def kmv_distinct(sketch: Column): Column =
+    column(KmvDistinct(expression(sketch)))
+
+  /** Stored-value count of a KMV blob (< k ⇔ exact regime). */
+  def kmv_size(sketch: Column): Column =
+    column(KmvSize(expression(sketch)))
+
+  /** Jaccard estimate between two same-k KMV blobs (Beyer et al.). */
+  def kmv_jaccard(a: Column, b: Column): Column =
+    column(KmvJaccard(expression(a), expression(b)))
+
+  /** Union-distinct estimate between two same-k KMV blobs. */
+  def kmv_union_distinct(a: Column, b: Column): Column =
+    column(KmvUnionDistinct(expression(a), expression(b)))
+
+  /** Intersection-distinct estimate between two same-k KMV blobs. */
+  def kmv_intersect_distinct(a: Column, b: Column): Column =
+    column(KmvIntersectDistinct(expression(a), expression(b)))
+
   /** Content-defined (FastCDC) chunks of the text's UTF-8 bytes —
     * array<struct<start,len,hash>> (see [[graft.expr.CdcChunks]]). */
   def cdc_chunks(text: Column, min: Int = 64, avg: Int = 256,
@@ -291,5 +323,15 @@ object gf {
       es => CountMinQuery(es(0), es(1)), "scala_udf")
     reg.createOrReplaceTempFunction("count_min_total",
       es => CountMinTotal(es.head), "scala_udf")
+    reg.createOrReplaceTempFunction("kmv_distinct",
+      es => KmvDistinct(es.head), "scala_udf")
+    reg.createOrReplaceTempFunction("kmv_size",
+      es => KmvSize(es.head), "scala_udf")
+    reg.createOrReplaceTempFunction("kmv_jaccard",
+      es => KmvJaccard(es(0), es(1)), "scala_udf")
+    reg.createOrReplaceTempFunction("kmv_union_distinct",
+      es => KmvUnionDistinct(es(0), es(1)), "scala_udf")
+    reg.createOrReplaceTempFunction("kmv_intersect_distinct",
+      es => KmvIntersectDistinct(es(0), es(1)), "scala_udf")
   }
 }

@@ -89,4 +89,78 @@ object PageRank {
     }
     ranks.select(col("id").as(idCol), col("r").as("pagerank"))
   }
+
+  /**
+   * TrustRank / personalized PageRank (Gyöngyi, Garcia-Molina &
+   * Pedersen, VLDB'04): the teleport is a TRUST DISTRIBUTION over a
+   * seed set instead of uniform — trust flows out along links from
+   * vetted seeds and decays with distance, so link-spam farms that
+   * inflate plain PageRank (no path from any seed) score ≈ 0. The
+   * crawl-side use is seed-anchored frontier prioritization and spam
+   * demotion, the paper's motivating deployment.
+   *
+   *   t₀(v)    = d(v)
+   *   tₜ₊₁(v) = (1−α)·d(v) + α·( Σ_{u→v} tₜ(u)/outdeg(u) + Dₜ·d(v) )
+   *
+   * where d is the normalized teleport vector (Σd = 1) and Dₜ the
+   * dangling mass — redistributed BY d (the personalized convention:
+   * a random surfer who falls off a dangling page restarts at a seed),
+   * so Σt = 1 is invariant at every iteration (spec-asserted). With
+   * uniform d = 1/N this reduces EXACTLY to [[run]] — the spec proves
+   * the two code paths agree to the last ulp.
+   *
+   * Same scale shape as [[run]]: the teleport vector is O(N) rows
+   * joined once into the node spine (never collected/broadcast as a
+   * whole — seeds can number millions at web scale); each iteration is
+   * one edge⋈rank shuffle-hash join + hash agg + 1-row dangling agg.
+   *
+   * `teleport`: (idCol, wCol) rows for nodes with NON-ZERO teleport
+   * weight (missing ids ⇒ 0); caller guarantees Σw = 1.
+   */
+  def runPersonalized(nodes: DataFrame, idCol: String,
+                      edges: DataFrame, srcCol: String, dstCol: String,
+                      teleport: DataFrame, wCol: String,
+                      damping: Double = 0.85, iters: Int = 5,
+                      checkpointRounds: Boolean = true): DataFrame = {
+    def ck(df: DataFrame): DataFrame =
+      if (checkpointRounds) df.localCheckpoint(false) else df
+    val ids = nodes.select(col(idCol).cast("long").as("id"))
+    val e = edges.select(col(srcCol).cast("long").as("src"),
+      col(dstCol).cast("long").as("dst"))
+    val deg = e.groupBy("src").agg(count(lit(1)).cast("double").as("__deg"))
+    val contrib = e.join(deg, "src")
+      .select(col("src"), col("dst"), (lit(1.0) / col("__deg")).as("__w"))
+      .transform(ck)
+    val dangling = ids.join(deg.select(col("src").as("id")), Seq("id"), "left_anti")
+      .transform(ck)
+    // node spine with its teleport weight materialized ONCE — every
+    // iteration and the init read d from here (the J7 shuffle-hash
+    // convention: O(N) random-id keys, sorting buys nothing)
+    val spine = ids
+      .join(teleport.select(col(idCol).cast("long").as("id"),
+        col(wCol).cast("double").as("__d")).hint("shuffle_hash"), Seq("id"), "left")
+      .select(col("id"), coalesce(col("__d"), lit(0.0)).as("__d"))
+      .transform(ck)
+
+    var ranks = spine.select(col("id"), col("__d").as("r")).transform(ck)
+    for (_ <- 1 to iters) {
+      val dMass = broadcast(
+        dangling.join(ranks, "id")
+          .agg(coalesce(sum("r"), lit(0.0)).as("__dm")))
+      val inbound = contrib
+        .join(ranks.withColumnRenamed("id", "src"), "src")
+        .groupBy("dst")
+        .agg(sum(col("r") * col("__w")).as("__in"))
+        .withColumnRenamed("dst", "id")
+      ranks = spine
+        .join(inbound.hint("shuffle_hash"), Seq("id"), "left")
+        .crossJoin(dMass)
+        .select(col("id"),
+          ((lit(1.0) - damping) * col("__d") +
+            lit(damping) * (coalesce(col("__in"), lit(0.0)) +
+              col("__dm") * col("__d"))).as("r"))
+        .transform(ck)
+    }
+    ranks.select(col("id").as(idCol), col("r").as("trustrank"))
+  }
 }
