@@ -2359,6 +2359,50 @@ object SparkEntry {
       graph.Bfs.seedHops(nodes, "doc_id", edges, "src", "dst",
           seeds, maxHops = 4)
         .orderBy("doc_id")
+    }),
+
+    "q127_opic" -> ((s, dir) => { // OPIC online page importance
+      // Abiteboul et al. WWW'03: cash flows along links, history
+      // accumulates it — importance (hist+cash)/(T+1) is available at
+      // ANY point of the crawl, no frozen-snapshot power iteration
+      // (what a frontier scheduler actually runs between rounds; q76
+      // is the offline yardstick). Synchronous batch variant on the
+      // q76 graph; oracle = the identical 4 rounds unrolled in SQL,
+      // 7 dp (the q76 parity argument; cash conservation Σc = 1 and
+      // Σimportance = 1 are structural and spec-asserted).
+      val nodes = T(s, dir, "documents").select("doc_id")
+      val edges = synthGraphEdges(nodes)
+      graph.Opic.run(nodes, "doc_id", edges, "src", "dst", iters = 4)
+        .select(col("doc_id"), round(col("cash"), 7).as("cash"),
+          round(col("hist"), 7).as("hist"),
+          round(col("importance"), 7).as("importance"))
+        .orderBy("doc_id")
+    }),
+
+    "q128_cocitation" -> ((s, dir) => { // co-citation related-page pairs
+      // Related-page discovery by co-citation (Dean & Henzinger WWW'99,
+      // after Small '73): pages cited TOGETHER by many citing pages are
+      // related. The scale-safe direction is the self-join keyed on the
+      // CITING page — fan-out per citer = outdeg², and outdeg is
+      // page-size-bounded (~tens of links), whereas the coupling join
+      // on the cited side fans out indeg², unbounded at hubs. Pairs
+      // are cosine-normalized by in-degree; distinct edges first so a
+      // multi-link counts once (both engines). Exact SQL oracle.
+      val nodes = T(s, dir, "documents").select("doc_id")
+      val e = synthGraphEdges(nodes).distinct()
+        .localCheckpoint(false) // feeds the pair join AND the indegrees
+      val indeg = e.groupBy("dst").agg(count(lit(1)).as("ind"))
+      e.as("a").join(e.as("b"),
+          col("a.src") === col("b.src") && col("a.dst") < col("b.dst"))
+        .groupBy(col("a.dst").as("page_a"), col("b.dst").as("page_b"))
+        .agg(count(lit(1)).as("cocite"))
+        .filter(col("cocite") >= 2)
+        .join(indeg.select(col("dst").as("page_a"), col("ind").as("__ia")), Seq("page_a"))
+        .join(indeg.select(col("dst").as("page_b"), col("ind").as("__ib")), Seq("page_b"))
+        .select(col("page_a"), col("page_b"), col("cocite"),
+          round(col("cocite").cast("double") /
+            sqrt((col("__ia") * col("__ib")).cast("double")), 6).as("cosine"))
+        .orderBy("page_a", "page_b")
     })
   )
 
@@ -3420,6 +3464,49 @@ object SparkEntry {
          |  round(CAST(shared AS DOUBLE) / (ca.n + cb.n - shared), 6) AS jaccard
          |FROM sh JOIN c ca ON ca.source = sh.sa JOIN c cb ON cb.source = sh.sb
          |ORDER BY src_a, src_b""".stripMargin,
+    // q127 oracle: OPIC's 4 synchronous rounds unrolled — cash inflow
+    // + dangling bank each round, history accumulating the PRE-round
+    // cash, importance normalized by (Σ hist + 1) — all at 7 dp
+    "q127_opic" -> {
+      val rounds = (1 to 4).map { k =>
+        val p = s"s${k - 1}"
+        s"""s$k AS (
+           | SELECT id,
+           |   coalesce(inb.s, 0)
+           |     + (SELECT coalesce(sum(c), 0) FROM $p
+           |        WHERE id NOT IN (SELECT src FROM deg)) / (SELECT n FROM nn)
+           |     AS c,
+           |   p.h + p.c AS h
+           | FROM ids JOIN $p p USING (id) LEFT JOIN (
+           |   SELECT e.dst AS id, sum(p.c / deg.d) AS s
+           |   FROM e JOIN $p p ON e.src = p.id JOIN deg ON deg.src = e.src
+           |   GROUP BY e.dst) inb USING (id))""".stripMargin
+      }.mkString(",\n")
+      s"""WITH nn AS (SELECT count(*)::DOUBLE AS n FROM documents),
+         |ids AS (SELECT doc_id AS id FROM documents),
+         |$synthEdgeSql,
+         |deg AS (SELECT src, count(*)::DOUBLE AS d FROM e GROUP BY src),
+         |s0 AS (SELECT id, 1.0/(SELECT n FROM nn) AS c, 0.0 AS h FROM ids),
+         |$rounds
+         |SELECT id AS doc_id, round(c, 7) AS cash, round(h, 7) AS hist,
+         |  round((h + c) / (SELECT sum(h) + 1.0 FROM s4), 7) AS importance
+         |FROM s4 ORDER BY doc_id""".stripMargin
+    },
+    // q128 oracle: the identical distinct-edge self-join on the citing
+    // page, pair counts ≥ 2, cosine over in-degrees at 6 dp
+    "q128_cocitation" ->
+      s"""WITH ids AS (SELECT doc_id AS id FROM documents),
+         |$synthEdgeSql,
+         |ed AS (SELECT DISTINCT src, dst FROM e),
+         |ind AS (SELECT dst, count(*) AS ind FROM ed GROUP BY dst),
+         |p AS (SELECT a.dst AS page_a, b.dst AS page_b, count(*) AS cocite
+         |  FROM ed a JOIN ed b ON a.src = b.src AND a.dst < b.dst
+         |  GROUP BY 1, 2 HAVING count(*) >= 2)
+         |SELECT page_a, page_b, CAST(cocite AS BIGINT) AS cocite,
+         |  round(CAST(cocite AS DOUBLE) /
+         |    sqrt(CAST(ia.ind * ib.ind AS DOUBLE)), 6) AS cosine
+         |FROM p JOIN ind ia ON ia.dst = p.page_a JOIN ind ib ON ib.dst = p.page_b
+         |ORDER BY page_a, page_b""".stripMargin,
     // q124 oracle: the same in-degree table and CSN continuous-MLE
     // α̂ = 1 + n/Σln(d/x_min) recomputed in SQL; both engines divide
     // as DOUBLE and round α̂ at 6 dp (sum-order ulps ~1e-13)

@@ -46,7 +46,10 @@ class PlanGuardSpec extends SparkTestBase {
     "q108_trigram_nll",    // unigram total (Tfidf.scala TrigramLm)
     "q113_stupid_backoff", // model token total (Tfidf.scala StupidBackoff)
     "q116_kneser_ney",     // bigram-type total N1+(··) (Tfidf.scala KneserNey)
-    "q118_tdigest_quantiles" // corpus doc-count scalar for the fold gate
+    "q118_tdigest_quantiles", // corpus doc-count scalar for the fold gate
+    "q124_powerlaw",       // synthGraphEdges' node-count scalar (no loop
+                           // checkpoint hides it here, unlike q76/q123)
+    "q127_opic"            // Σhist+1 importance normalizer (Opic.scala:79)
   )
 
   /** Static SMJ where AQE re-plans at runtime (see scaladoc). */
