@@ -197,6 +197,42 @@ object PlanAudit {
     ch.join(ch.withColumnRenamed("doc_id", "other"), Seq("h"))
       .filter($"doc_id" < $"other").explain("formatted")
 
+    println("==== KMV two-level: PARTIAL kmv_agg before the exchange (k-long blobs cross the wire, not gram keys) ====")
+    docs.select($"doc_id", explode(graft.text.TextOps.words($"text")).as("w"))
+      .groupBy(pmod($"doc_id", lit(5)).as("b"))
+      .agg(gf.kmv_agg(xxhash64($"w"), 256).as("sk"))
+      .agg(gf.kmv_merge_agg($"sk")).explain("formatted")
+
+    println("==== count-min two-level: PARTIAL count_min_agg before the exchange (d·w-long blobs, vector-add merge) ====")
+    docs.select($"doc_id", explode(graft.text.TextOps.words($"text")).as("w"))
+      .groupBy(pmod($"doc_id", lit(5)).as("b"))
+      .agg(gf.count_min_agg(xxhash64($"w"), lit(1L)).as("sk"))
+      .agg(gf.count_min_merge_agg($"sk")).explain("formatted")
+
+    println("==== trustrank iteration: teleport spine join + edge⋈rank SHJ (teleport NEVER broadcast whole) ====")
+    val trTele = prNodes.filter(pmod($"id", lit(17)) === 3)
+      .select($"id", lit(0.033).as("w"))
+    graft.graph.PageRank.runPersonalized(prNodes, "id", prEdges, "src", "dst",
+      trTele, "w", damping = 0.85, iters = 1, checkpointRounds = false)
+      .explain("formatted")
+
+    println("==== OPIC round: edge⋈cash SHJ + dst agg + 1-row dangling bank (cash conserved in-plan) ====")
+    graft.graph.Opic.run(prNodes, "id", prEdges, "src", "dst",
+      iters = 1, checkpointRounds = false).explain("formatted")
+
+    println("==== seed-distance BFS level: newest-frontier-only edge join + min agg ====")
+    graft.graph.Bfs.seedHops(prNodes, "id", prEdges, "src", "dst",
+      prNodes.filter(pmod($"id", lit(17)) === 3), maxHops = 1,
+      checkpointRounds = false).explain("formatted")
+
+    println("==== LPA round: edge⋈label SHJ + (dst,label) agg + argmax AGGREGATION (no window sort) ====")
+    graft.graph.LabelProp.run(prNodes, "id", prEdges, "src", "dst",
+      iters = 1, checkpointRounds = false).explain("formatted")
+
+    println("==== BM25: broadcast query terms prune the tf table BEFORE any shuffle; 1-row N/avgdl scalars ====")
+    val bmQ = Seq(("bm1", "merge"), ("bm1", "join")).toDF("query_id", "term")
+    graft.text.Bm25.topDocs(docs, "doc_id", "text", bmQ).explain("formatted")
+
     spark.stop()
   }
 }

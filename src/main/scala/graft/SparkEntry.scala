@@ -10,7 +10,7 @@ import graft.frontier.{Crawler, CrawlRound}
 import graft.extract.{Classify, Dedup, FacilityExtract, Validation}
 import graft.functions.UrlPredicates
 import graft.sources.{Feeds, Sitemap, Warc}
-import graft.text.{BigramLm, Bpe, Chunker, Decontaminate, Dsir, ExactSubstr, InvertedIndex, KneserNey, LineDedup, Packing, Pii, PrepStack, QualityLr, Repetition, Sampling, SpanScrub, StupidBackoff, TextOps, TextPipeline, Tfidf, TrigramLm, UnigramLm}
+import graft.text.{BigramLm, Bm25, Bpe, Chunker, Decontaminate, Dsir, ExactSubstr, InvertedIndex, KneserNey, LineDedup, Packing, Pii, PrepStack, QualityLr, Repetition, Sampling, SpanScrub, StupidBackoff, TextOps, TextPipeline, Tfidf, TrigramLm, UnigramLm}
 import graft.dedup.{DupClusters, NearDup}
 import graft.ann.{Pq, SemDedup, SemanticDecontaminate, Similarity}
 import graft.multimodal.MediaOps
@@ -2403,6 +2403,42 @@ object SparkEntry {
           round(col("cocite").cast("double") /
             sqrt((col("__ia") * col("__ib")).cast("double")), 6).as("cosine"))
         .orderBy("page_a", "page_b")
+    }),
+
+    "q129_bm25" -> ((s, dir) => { // BM25 ranked retrieval
+      // Query-time ranking, the retrieval half q54/q77 lacked: Okapi
+      // BM25 with the (k1+1) numerator over three fixed probe queries
+      // (terms chosen present at every scale). One text scan builds
+      // tf; dl/df derive from it; query terms broadcast-prune the
+      // corpus BEFORE any shuffle; avgdl = exact integer sum ÷ count
+      // (one double division — no float-accumulation parity risk);
+      // ranks tie-break on the ROUNDED score then doc_id (q54 lesson).
+      import s.implicits._
+      val qs = Seq(
+        ("bm1", "merge"), ("bm1", "join"),
+        ("bm2", "window"), ("bm2", "filter"), ("bm2", "scan"),
+        ("bm3", "column"), ("bm3", "value"), ("bm3", "order"))
+        .toDF("query_id", "term")
+      Bm25.topDocs(T(s, dir, "documents"), "doc_id", "text", qs)
+        .orderBy("query_id", "rank")
+    }),
+
+    "q130_label_prop" -> ((s, dir) => { // link-graph communities (LPA)
+      // Raghavan-et-al label propagation, the deterministic synchronous
+      // variant (min-label ties): link communities on the raw q76 graph
+      // — the structure signal q104's content-overlap clusters can't
+      // see. 3 rounds; oracle = the identical rounds unrolled in SQL
+      // (integer counts + min-label argmax — exact, no float parity).
+      // Surface adds the community size per node.
+      val nodes = T(s, dir, "documents").select("doc_id")
+      val edges = synthGraphEdges(nodes)
+      val lab = graph.LabelProp.run(nodes, "doc_id", edges, "src", "dst",
+          iters = 3)
+        .localCheckpoint(false) // feeds rows + community sizes
+      lab.join(lab.groupBy("label").agg(count(lit(1)).as("comm_size"))
+            .hint("shuffle_hash"), Seq("label"))
+        .select(col("doc_id"), col("label"), col("comm_size"))
+        .orderBy("doc_id")
     })
   )
 
@@ -3507,6 +3543,60 @@ object SparkEntry {
          |    sqrt(CAST(ia.ind * ib.ind AS DOUBLE)), 6) AS cosine
          |FROM p JOIN ind ia ON ia.dst = p.page_a JOIN ind ib ON ib.dst = p.page_b
          |ORDER BY page_a, page_b""".stripMargin,
+    // q129 oracle: the identical BM25 formula term-for-term — same
+    // operator associativity, avgdl as exact sum ÷ count, rank over the
+    // ROUNDED score — so both engines rank identically
+    "q129_bm25" ->
+      s"""WITH qt(query_id, term) AS (VALUES
+         |  ('bm1','merge'),('bm1','join'),
+         |  ('bm2','window'),('bm2','filter'),('bm2','scan'),
+         |  ('bm3','column'),('bm3','value'),('bm3','order')),
+         |w AS (SELECT doc_id, $duckWords AS words FROM documents),
+         |tk AS (SELECT doc_id, unnest(words) AS term FROM w),
+         |tf AS (SELECT doc_id, term, count(*) AS tf FROM tk GROUP BY 1, 2),
+         |dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY 1),
+         |dft AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+         |nn AS (SELECT count(*)::DOUBLE AS n FROM documents),
+         |ad AS (SELECT CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl),
+         |sc AS (SELECT qt.query_id, tf.doc_id,
+         |    round(sum(
+         |      ln(1 + ((SELECT n FROM nn) - dft.df + 0.5) / (dft.df + 0.5))
+         |      * (tf.tf * (CAST(1.2 AS DOUBLE) + 1.0))
+         |      / (tf.tf + CAST(1.2 AS DOUBLE) * (1.0 - CAST(0.75 AS DOUBLE)
+         |          + CAST(0.75 AS DOUBLE) * dl.dl / (SELECT avgdl FROM ad)))
+         |    ), 6) AS score
+         |  FROM tf JOIN qt USING (term) JOIN dft USING (term)
+         |    JOIN dl USING (doc_id)
+         |  GROUP BY 1, 2),
+         |r AS (SELECT query_id, doc_id, score,
+         |   row_number() OVER (PARTITION BY query_id
+         |     ORDER BY score DESC, doc_id) AS rnk
+         | FROM sc)
+         |SELECT query_id, CAST(rnk AS BIGINT) AS rank, doc_id, score
+         |FROM r WHERE rnk <= 10 ORDER BY query_id, rank""".stripMargin,
+    // q130 oracle: 3 unrolled synchronous LPA rounds — per-(dst,label)
+    // inbound counts, argmax by (count DESC, label ASC), keep-own-label
+    // for nodes without in-edges — then community sizes; all integer
+    "q130_label_prop" -> {
+      val rounds = (1 to 3).map { k =>
+        val p = s"l${k - 1}"
+        s"""i$k AS (SELECT e.dst, p.lbl AS l, count(*) AS c
+           |  FROM e JOIN $p p ON e.src = p.id GROUP BY 1, 2),
+           |b$k AS (SELECT dst AS id, l FROM (
+           |    SELECT dst, l, row_number() OVER (PARTITION BY dst
+           |      ORDER BY c DESC, l) AS rn FROM i$k) WHERE rn = 1),
+           |l$k AS (SELECT p.id, coalesce(b.l, p.lbl) AS lbl
+           |  FROM $p p LEFT JOIN b$k b ON b.id = p.id)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH ids AS (SELECT doc_id AS id FROM documents),
+         |$synthEdgeSql,
+         |l0 AS (SELECT id, id AS lbl FROM ids),
+         |$rounds,
+         |cs AS (SELECT lbl, count(*) AS comm_size FROM l3 GROUP BY lbl)
+         |SELECT l3.id AS doc_id, l3.lbl AS label,
+         |  CAST(cs.comm_size AS BIGINT) AS comm_size
+         |FROM l3 JOIN cs USING (lbl) ORDER BY doc_id""".stripMargin
+    },
     // q124 oracle: the same in-degree table and CSN continuous-MLE
     // α̂ = 1 + n/Σln(d/x_min) recomputed in SQL; both engines divide
     // as DOUBLE and round α̂ at 6 dp (sum-order ulps ~1e-13)

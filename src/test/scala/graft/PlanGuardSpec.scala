@@ -49,7 +49,8 @@ class PlanGuardSpec extends SparkTestBase {
     "q118_tdigest_quantiles", // corpus doc-count scalar for the fold gate
     "q124_powerlaw",       // synthGraphEdges' node-count scalar (no loop
                            // checkpoint hides it here, unlike q76/q123)
-    "q127_opic"            // Σhist+1 importance normalizer (Opic.scala:79)
+    "q127_opic",           // Σhist+1 importance normalizer (Opic.scala:79)
+    "q129_bm25"            // doc-count N + avgdl scalars (Bm25.scala:49,53)
   )
 
   /** Static SMJ where AQE re-plans at runtime (see scaladoc). */
