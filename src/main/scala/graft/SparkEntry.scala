@@ -2439,6 +2439,84 @@ object SparkEntry {
             .hint("shuffle_hash"), Seq("label"))
         .select(col("doc_id"), col("label"), col("comm_size"))
         .orderBy("doc_id")
+    }),
+
+    "q131_pmi" -> ((s, dir) => { // PMI collocations
+      // Pointwise mutual information over adjacent word pairs (Church &
+      // Hanks CL'90) — the collocation miner: boilerplate phrases and
+      // templated n-grams surface as high-PMI pairs, feeding stopphrase
+      // lists for the C4-style line dedup. PMI = ln(p(xy)/(p(x)p(y)))
+      // with a min-count floor (sparse pairs make PMI explode — the
+      // classic caveat); top-30 ranked on the ROUNDED score (q54).
+      // One words scan feeds unigrams; one ngram scan feeds pairs;
+      // totals are 1-row in-plan scalars. Exact SQL oracle.
+      val docs = T(s, dir, "documents")
+      val uni = docs.select(explode(TextOps.words(col("text"))).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("c1"))
+        .localCheckpoint(false) // feeds totals + both sides of the pair join
+      val t1 = broadcast(uni.agg(sum(col("c1")).cast("double").as("__t1")))
+      val bi = docs.select(
+          explode(TextOps.wordNgrams(TextOps.words(col("text")), 2)).as("g"))
+        .groupBy("g").agg(count(lit(1)).as("c12"))
+        .filter(col("c12") >= 5)
+        .select(split(col("g"), " ").getItem(0).as("w1"),
+          split(col("g"), " ").getItem(1).as("w2"), col("c12"))
+        .localCheckpoint(false)
+      val t2 = broadcast(docs.select(
+          size(TextOps.wordNgrams(TextOps.words(col("text")), 2)).as("n"))
+        .agg(sum(col("n")).cast("double").as("__t2")))
+      bi.join(uni.select(col("w").as("w1"), col("c1").as("__ca")).hint("shuffle_hash"), Seq("w1"))
+        .join(uni.select(col("w").as("w2"), col("c1").as("__cb")).hint("shuffle_hash"), Seq("w2"))
+        .crossJoin(t1).crossJoin(t2)
+        .select(col("w1"), col("w2"), col("c12"),
+          round(log((col("c12") / col("__t2")) /
+            ((col("__ca") / col("__t1")) * (col("__cb") / col("__t1")))), 6)
+            .as("pmi"))
+        .orderBy(col("pmi").desc, col("w1"), col("w2"))
+        .limit(30)
+    }),
+
+    "q132_graph_stats" -> ((s, dir) => { // web-graph structure monitor
+      // Two one-number diagnostics a crawl monitor tracks per snapshot,
+      // both with exact SQL oracles: RECIPROCITY (fraction of directed
+      // edges whose reverse exists — link-exchange spam rings push it
+      // up; the reverse-edge test is an equi-join on the swapped key)
+      // and IN-IN degree ASSORTATIVITY over edges (the Foster et al.
+      // PNAS'10 r(in,in) variant — the out-degree here is constant by
+      // construction, the degenerate case for Newman's out-in r; in-
+      // degrees vary at every scale, and a positive drift still flags
+      // farm interconnection). Sources with no in-edges enter at
+      // degree 0 (left join), the standard convention. All five moment
+      // sums are integer-exact in both engines; each is cast to double
+      // BEFORE the products (scale-safe at 10^10 edges where long
+      // products would overflow, and parity-safe: identical IEEE op
+      // sequence both sides).
+      val nodes = T(s, dir, "documents").select("doc_id")
+      val e = synthGraphEdges(nodes).distinct()
+        .localCheckpoint(false) // feeds degrees, reciprocity, moments
+      val ind = e.groupBy("dst").agg(count(lit(1)).as("idg"))
+      val recip = e.as("a").join(e.as("b"),
+          col("a.src") === col("b.dst") && col("a.dst") === col("b.src"))
+        .select(count(lit(1)).as("recip_edges"))
+      val xy = e
+        .join(ind.select(col("dst").as("src"), col("idg").as("__xi"))
+          .hint("shuffle_hash"), Seq("src"), "left")
+        .join(ind.hint("shuffle_hash"), "dst")
+        .select(coalesce(col("__xi"), lit(0L)).as("x"), col("idg").as("y"))
+        .agg(count(lit(1)).as("m"), sum(col("x")).as("sx"),
+          sum(col("y")).as("sy"), sum(col("x") * col("y")).as("sxy"),
+          sum(col("x") * col("x")).as("sxx"),
+          sum(col("y") * col("y")).as("syy"))
+      val d = (c: String) => col(c).cast("double")
+      xy.crossJoin(broadcast(recip))
+        .crossJoin(broadcast(e.select(count(lit(1)).as("n_edges"))))
+        .crossJoin(broadcast(nodes.select(count(lit(1)).as("n_nodes"))))
+        .select(col("n_nodes"), col("n_edges"), col("recip_edges"),
+          round(d("recip_edges") / d("n_edges"), 6).as("reciprocity"),
+          round((d("m") * d("sxy") - d("sx") * d("sy")) /
+            (sqrt(d("m") * d("sxx") - d("sx") * d("sx")) *
+              sqrt(d("m") * d("syy") - d("sy") * d("sy"))), 6)
+            .as("assortativity"))
     })
   )
 
@@ -3597,6 +3675,58 @@ object SparkEntry {
          |  CAST(cs.comm_size AS BIGINT) AS comm_size
          |FROM l3 JOIN cs USING (lbl) ORDER BY doc_id""".stripMargin
     },
+    // q131 oracle: identical unigram/bigram count tables, PMI formula
+    // with the same operator associativity, ranked on the ROUNDED score
+    "q131_pmi" ->
+      s"""WITH w AS (SELECT $duckWords AS words FROM documents),
+         |u AS (SELECT unnest(words) AS w FROM w),
+         |uni AS (SELECT w, count(*) AS c1 FROM u GROUP BY w),
+         |t1 AS (SELECT CAST(sum(c1) AS DOUBLE) AS t FROM uni),
+         |g AS (SELECT array_to_string(words[i:i+1], ' ') AS g
+         |  FROM w, unnest(range(1, len(words))) AS t(i)),
+         |bi AS (SELECT g, count(*) AS c12 FROM g GROUP BY g
+         |  HAVING count(*) >= 5),
+         |t2 AS (SELECT CAST(sum(CASE WHEN len(words) >= 2
+         |    THEN len(words) - 1 ELSE 0 END) AS DOUBLE) AS t FROM w),
+         |p AS (SELECT string_split(g, ' ')[1] AS w1,
+         |    string_split(g, ' ')[2] AS w2, c12 FROM bi),
+         |s AS (SELECT w1, w2, c12,
+         |    round(ln((c12 / (SELECT t FROM t2))
+         |      / ((ca.c1 / (SELECT t FROM t1))
+         |        * (cb.c1 / (SELECT t FROM t1)))), 6) AS pmi
+         |  FROM p JOIN uni ca ON ca.w = p.w1 JOIN uni cb ON cb.w = p.w2)
+         |SELECT w1, w2, CAST(c12 AS BIGINT) AS c12, pmi FROM s
+         |ORDER BY pmi DESC, w1, w2 LIMIT 30""".stripMargin,
+    // q132 oracle: distinct edges, swapped-key reciprocity join, in-in
+    // moment sums cast to DOUBLE before the identical Pearson formula
+    "q132_graph_stats" ->
+      s"""WITH ids AS (SELECT doc_id AS id FROM documents),
+         |$synthEdgeSql,
+         |ed AS (SELECT DISTINCT src, dst FROM e),
+         |ind AS (SELECT dst, count(*) AS idg FROM ed GROUP BY dst),
+         |r AS (SELECT count(*) AS recip FROM ed a
+         |  JOIN ed b ON a.src = b.dst AND a.dst = b.src),
+         |mm AS (SELECT CAST(count(*) AS BIGINT) AS m,
+         |   CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         |   CAST(sum(x*y) AS BIGINT) AS sxy, CAST(sum(x*x) AS BIGINT) AS sxx,
+         |   CAST(sum(y*y) AS BIGINT) AS syy
+         | FROM (SELECT coalesce(xi.idg, 0) AS x, yi.idg AS y
+         |   FROM ed LEFT JOIN ind xi ON xi.dst = ed.src
+         |     JOIN ind yi ON yi.dst = ed.dst)),
+         |ne AS (SELECT CAST(count(*) AS BIGINT) AS n_edges FROM ed)
+         |SELECT (SELECT CAST(count(*) AS BIGINT) FROM ids) AS n_nodes,
+         |  (SELECT n_edges FROM ne) AS n_edges,
+         |  CAST(r.recip AS BIGINT) AS recip_edges,
+         |  round(CAST(r.recip AS DOUBLE) / CAST((SELECT n_edges FROM ne) AS DOUBLE), 6)
+         |    AS reciprocity,
+         |  round((CAST(mm.m AS DOUBLE) * CAST(mm.sxy AS DOUBLE)
+         |      - CAST(mm.sx AS DOUBLE) * CAST(mm.sy AS DOUBLE))
+         |    / (sqrt(CAST(mm.m AS DOUBLE) * CAST(mm.sxx AS DOUBLE)
+         |        - CAST(mm.sx AS DOUBLE) * CAST(mm.sx AS DOUBLE))
+         |      * sqrt(CAST(mm.m AS DOUBLE) * CAST(mm.syy AS DOUBLE)
+         |        - CAST(mm.sy AS DOUBLE) * CAST(mm.sy AS DOUBLE))), 6)
+         |    AS assortativity
+         |FROM r, mm""".stripMargin,
     // q124 oracle: the same in-degree table and CSN continuous-MLE
     // α̂ = 1 + n/Σln(d/x_min) recomputed in SQL; both engines divide
     // as DOUBLE and round α̂ at 6 dp (sum-order ulps ~1e-13)

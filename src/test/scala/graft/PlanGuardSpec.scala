@@ -50,7 +50,9 @@ class PlanGuardSpec extends SparkTestBase {
     "q124_powerlaw",       // synthGraphEdges' node-count scalar (no loop
                            // checkpoint hides it here, unlike q76/q123)
     "q127_opic",           // Σhist+1 importance normalizer (Opic.scala:79)
-    "q129_bm25"            // doc-count N + avgdl scalars (Bm25.scala:49,53)
+    "q129_bm25",           // doc-count N + avgdl scalars (Bm25.scala:49,53)
+    "q131_pmi",            // unigram/bigram total scalars
+    "q132_graph_stats"     // edge/node/reciprocity 1-row counters
   )
 
   /** Static SMJ where AQE re-plans at runtime (see scaladoc). */
