@@ -2517,6 +2517,26 @@ object SparkEntry {
             (sqrt(d("m") * d("sxx") - d("sx") * d("sx")) *
               sqrt(d("m") * d("syy") - d("sy") * d("sy"))), 6)
             .as("assortativity"))
+    }),
+
+    "q133_triangles" -> ((s, dir) => { // triangles + clustering coefficient
+      // Exact per-node triangle counts + Newman local clustering over
+      // the undirected view of the link graph (link-farm neighborhoods
+      // are triangle-dense — the cohesion companion to q132's
+      // reciprocity). graph/Triangles orients edges by the (degree, id)
+      // total order (Suri-Vassilvitskii WWW'11), so each triangle is
+      // produced by exactly one apex wedge closed by one equi-join —
+      // never an unordered all-pairs or post-hoc dedup. The oracle
+      // lists triangles from the value-ordered a<b<c edge chain (an
+      // orientation-independent set, so the simple order is fine at
+      // oracle scale). Coefficient = ONE double division from exact
+      // ints — IEEE-identical (q105 argument); rounded 6 dp.
+      val nodes = T(s, dir, "documents").select("doc_id")
+      val edges = synthGraphEdges(nodes)
+      graph.Triangles.perNode(nodes, "doc_id", edges, "src", "dst")
+        .select(col("id").as("doc_id"), col("degree"), col("triangles"),
+          round(col("clustering"), 6).as("clustering"))
+        .orderBy("doc_id")
     })
   )
 
@@ -3727,6 +3747,34 @@ object SparkEntry {
          |        - CAST(mm.sy AS DOUBLE) * CAST(mm.sy AS DOUBLE))), 6)
          |    AS assortativity
          |FROM r, mm""".stripMargin,
+    // q133 oracle: undirected simple edges (a<b canonical), triangles
+    // listed once via the a<b<c edge chain, per-node credit by a
+    // 3-way union; clustering = one double division from exact ints
+    "q133_triangles" ->
+      s"""WITH ids AS (SELECT doc_id AS id FROM documents),
+         |$synthEdgeSql,
+         |u AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+         |  FROM e WHERE src <> dst),
+         |deg AS (SELECT id, CAST(count(*) AS BIGINT) AS d FROM (
+         |   SELECT a AS id FROM u UNION ALL SELECT b AS id FROM u)
+         |  GROUP BY id),
+         |tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+         |  FROM u e1 JOIN u e2 ON e2.a = e1.b
+         |    JOIN u e3 ON e3.a = e1.a AND e3.b = e2.b),
+         |tcnt AS (SELECT id, CAST(count(*) AS BIGINT) AS t FROM (
+         |   SELECT x AS id FROM tri UNION ALL SELECT y AS id FROM tri
+         |   UNION ALL SELECT z AS id FROM tri)
+         |  GROUP BY id)
+         |SELECT ids.id AS doc_id,
+         |  coalesce(deg.d, 0) AS degree,
+         |  coalesce(tcnt.t, 0) AS triangles,
+         |  round(CASE WHEN coalesce(deg.d, 0) >= 2
+         |    THEN 2.0 * CAST(coalesce(tcnt.t, 0) AS DOUBLE)
+         |      / (CAST(deg.d AS DOUBLE) * CAST(deg.d - 1 AS DOUBLE))
+         |    ELSE 0.0 END, 6) AS clustering
+         |FROM ids LEFT JOIN deg ON deg.id = ids.id
+         |  LEFT JOIN tcnt ON tcnt.id = ids.id
+         |ORDER BY doc_id""".stripMargin,
     // q124 oracle: the same in-degree table and CSN continuous-MLE
     // α̂ = 1 + n/Σln(d/x_min) recomputed in SQL; both engines divide
     // as DOUBLE and round α̂ at 6 dp (sum-order ulps ~1e-13)
