@@ -2537,6 +2537,26 @@ object SparkEntry {
         .select(col("id").as("doc_id"), col("degree"), col("triangles"),
           round(col("clustering"), 6).as("clustering"))
         .orderBy("doc_id")
+    }),
+
+    "q134_kcore" -> ((s, dir) => { // k-core dense-nucleus membership
+      // Seidman k-core at k=4 over the undirected link graph — the
+      // dense-nucleus extractor (link-farm seeds live in deep cores).
+      // graph/KCore peels synchronously to a fixpoint (asserted within
+      // 16 rounds in-query); peeling is monotone, so the oracle's
+      // EXACTLY-16 unrolled SQL rounds agree — trailing rounds past
+      // convergence are identities (the q86 unroll contract, with
+      // MATERIALIZED CTEs so DuckDB can't inline the chain). k=4 is
+      // the cascade regime on this graph: the 4-core peels in 11-13
+      // rounds and keeps ~2/3 of nodes at every test scale (k=3
+      // converges in 3, k=5 peels to empty). All-integer — no float
+      // parity question.
+      val nodes = T(s, dir, "documents").select("doc_id")
+      val edges = synthGraphEdges(nodes)
+      graph.KCore.membership(nodes, "doc_id", edges, "src", "dst",
+          k = 4, maxRounds = 16)
+        .select(col("id").as("doc_id"), col("in_core"), col("core_degree"))
+        .orderBy("doc_id")
     })
   )
 
@@ -3775,6 +3795,33 @@ object SparkEntry {
          |FROM ids LEFT JOIN deg ON deg.id = ids.id
          |  LEFT JOIN tcnt ON tcnt.id = ids.id
          |ORDER BY doc_id""".stripMargin,
+    // q134 oracle: 16 unrolled synchronous peel rounds (MATERIALIZED —
+    // the q86 inlining gotcha); rounds past the fixpoint are no-ops,
+    // which is exactly why fixed-unroll SQL ≡ loop-to-convergence Spark
+    "q134_kcore" -> {
+      val peels = (1 to 16).map { r =>
+        val p = s"n${r - 1}"
+        s"""d$r AS MATERIALIZED (SELECT adj.x, count(*) AS c
+           |  FROM adj JOIN $p nx ON adj.x = nx.id
+           |    JOIN $p ny ON adj.y = ny.id GROUP BY adj.x),
+           |n$r AS MATERIALIZED (SELECT x AS id FROM d$r WHERE c >= 4)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH ids AS (SELECT doc_id AS id FROM documents),
+         |$synthEdgeSql,
+         |u AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+         |  FROM e WHERE src <> dst),
+         |adj AS MATERIALIZED (SELECT a AS x, b AS y FROM u
+         |  UNION ALL SELECT b AS x, a AS y FROM u),
+         |n0 AS MATERIALIZED (SELECT DISTINCT x AS id FROM adj),
+         |$peels,
+         |fd AS (SELECT adj.x, CAST(count(*) AS BIGINT) AS c
+         |  FROM adj JOIN n16 nx ON adj.x = nx.id
+         |    JOIN n16 ny ON adj.y = ny.id GROUP BY adj.x)
+         |SELECT ids.id AS doc_id, fd.c IS NOT NULL AS in_core,
+         |  coalesce(fd.c, 0) AS core_degree
+         |FROM ids LEFT JOIN fd ON fd.x = ids.id
+         |ORDER BY doc_id""".stripMargin
+    },
     // q124 oracle: the same in-degree table and CSN continuous-MLE
     // α̂ = 1 + n/Σln(d/x_min) recomputed in SQL; both engines divide
     // as DOUBLE and round α̂ at 6 dp (sum-order ulps ~1e-13)
