@@ -2557,6 +2557,49 @@ object SparkEntry {
           k = 4, maxRounds = 16)
         .select(col("id").as("doc_id"), col("in_core"), col("core_degree"))
         .orderBy("doc_id")
+    }),
+
+    "q135_textrank" -> ((s, dir) => { // TextRank keyword extraction
+      // Mihalcea & Tarau EMNLP'04: PageRank over the word co-occurrence
+      // graph (adjacent-pair window, undirected = both directed ways,
+      // unweighted distinct edges) ranks corpus keywords — the
+      // unsupervised keyphrase extractor a training-data pipeline runs
+      // for topic tagging. Composes graph/PageRank verbatim: word nodes
+      // are keyed by the portable md5 60-bit hash (the simhash idiom)
+      // so the DuckDB oracle rebuilds the IDENTICAL graph, then 5
+      // unrolled SQL power iterations (the q76 parity argument, 7 dp).
+      // Nodes = words incident to >= 1 co-occurrence edge; every node
+      // then has out-degree >= 1, so the dangling term is exactly 0.0
+      // in both engines. Top-30 on the ROUNDED rank, then word (q54).
+      val docs = T(s, dir, "documents")
+      val bi = docs.select(
+          explode(TextOps.wordNgrams(TextOps.words(col("text")), 2)).as("g"))
+        .select(split(col("g"), " ").getItem(0).as("w1"),
+          split(col("g"), " ").getItem(1).as("w2"))
+      val und = bi
+        .select(least(col("w1"), col("w2")).as("a"),
+          greatest(col("w1"), col("w2")).as("b"))
+        .filter(col("a") =!= col("b")).distinct()
+        .localCheckpoint(false) // feeds nodes + both edge directions
+      val wordIds = und.select(explode(array(col("a"), col("b"))).as("word"))
+        .distinct()
+        .select(col("word"),
+          graft.dedup.NearDup.md5TokenHash(col("word")).as("id"))
+        .localCheckpoint(false) // feeds the rank spine + the name join
+      val edges = und
+        .select(col("a").as("ws"), col("b").as("wd"))
+        .unionByName(und.select(col("b").as("ws"), col("a").as("wd")))
+        .join(wordIds.select(col("word").as("ws"), col("id").as("src"))
+          .hint("shuffle_hash"), Seq("ws"))
+        .join(wordIds.select(col("word").as("wd"), col("id").as("dst"))
+          .hint("shuffle_hash"), Seq("wd"))
+        .select("src", "dst")
+      val ranks = graph.PageRank.run(wordIds.select("id"), "id",
+        edges, "src", "dst", damping = 0.85, iters = 5)
+      ranks.join(wordIds.hint("shuffle_hash"), Seq("id"))
+        .select(col("word"), round(col("pagerank"), 7).as("textrank"))
+        .orderBy(col("textrank").desc, col("word"))
+        .limit(30)
     })
   )
 
@@ -3821,6 +3864,48 @@ object SparkEntry {
          |  coalesce(fd.c, 0) AS core_degree
          |FROM ids LEFT JOIN fd ON fd.x = ids.id
          |ORDER BY doc_id""".stripMargin
+    },
+    // q135 oracle: rebuild the identical word co-occurrence graph from
+    // the portable md5 60-bit word ids, then 5 unrolled PageRank
+    // iterations — the exact pagerankCte iteration text pointed at the
+    // word tables (dangling subselect is empty here: undirected edges
+    // give every node out-degree >= 1, so the term is exactly 0.0)
+    "q135_textrank" -> {
+      val iters = (1 to 5).map { k =>
+        val p = s"r${k - 1}"
+        s"""r$k AS (
+           | SELECT ids.id,
+           |   (1 - 0.85)/(SELECT n FROM nn)
+           |   + 0.85*( coalesce(inb.s, 0)
+           |     + (SELECT coalesce(sum(r), 0) FROM $p
+           |        WHERE id NOT IN (SELECT src FROM deg)) / (SELECT n FROM nn)
+           |   ) AS r
+           | FROM ids LEFT JOIN (
+           |   SELECT e.dst AS id, sum(p.r / deg.d) AS s
+           |   FROM e JOIN $p p ON e.src = p.id JOIN deg ON deg.src = e.src
+           |   GROUP BY e.dst) inb USING (id))""".stripMargin
+      }.mkString(",\n")
+      s"""WITH w AS (SELECT doc_id, $duckWords AS words FROM documents),
+         |bi AS (SELECT words[i] AS w1, words[i + 1] AS w2
+         |  FROM w, unnest(range(1, len(words))) AS t(i)),
+         |u AS (SELECT DISTINCT least(w1, w2) AS a, greatest(w1, w2) AS b
+         |  FROM bi WHERE w1 <> w2),
+         |n AS (SELECT DISTINCT word FROM (
+         |   SELECT a AS word FROM u UNION ALL SELECT b AS word FROM u)),
+         |ids AS (SELECT word,
+         |   CAST('0x' || substring(md5(word), 1, 15) AS BIGINT) AS id FROM n),
+         |e AS (SELECT ia.id AS src, ib.id AS dst
+         |   FROM u JOIN ids ia ON ia.word = u.a JOIN ids ib ON ib.word = u.b
+         |  UNION ALL
+         |  SELECT ib.id AS src, ia.id AS dst
+         |   FROM u JOIN ids ia ON ia.word = u.a JOIN ids ib ON ib.word = u.b),
+         |nn AS (SELECT count(*)::DOUBLE AS n FROM ids),
+         |deg AS (SELECT src, count(*)::DOUBLE AS d FROM e GROUP BY src),
+         |r0 AS (SELECT id, 1.0/(SELECT n FROM nn) AS r FROM ids),
+         |$iters
+         |SELECT ids.word, round(r5.r, 7) AS textrank
+         |FROM ids JOIN r5 USING (id)
+         |ORDER BY textrank DESC, word LIMIT 30""".stripMargin
     },
     // q124 oracle: the same in-degree table and CSN continuous-MLE
     // α̂ = 1 + n/Σln(d/x_min) recomputed in SQL; both engines divide
