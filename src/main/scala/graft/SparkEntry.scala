@@ -2600,6 +2600,53 @@ object SparkEntry {
         .select(col("word"), round(col("pagerank"), 7).as("textrank"))
         .orderBy(col("textrank").desc, col("word"))
         .limit(30)
+    }),
+
+    "q136_ks_drift" -> ((s, dir) => { // two-sample KS distribution drift
+      // Exact two-sample Kolmogorov-Smirnov between the doc-length
+      // distributions of two crawl cohorts (doc_id parity stands in
+      // for old/new snapshot) — the distribution-drift monitor a
+      // pipeline runs per dump (quality filters are tuned on LAST
+      // month's length/score shape; a shifted ECDF flags re-tuning
+      // BEFORE the gates silently change acceptance rates). Scale
+      // shape: the corpus reduces to per-DISTINCT-VALUE counts first
+      // (one hash agg); the cumulative window then runs over the
+      // VALUE DOMAIN, bounded by the doc-size contract (~600 distinct
+      // lengths) — an unpartitioned window over a domain-bounded
+      // input, PlanGuard-allowlisted with the bound stated here, NOT
+      // a window over corpus rows. D and the alpha=0.05 threshold
+      // 1.3581*sqrt((na+nb)/(na*nb)) are IEEE-identical (exact-int
+      // inputs, fixed op order); drift compares the ROUNDED pair
+      // (the q54/q60 lesson).
+      val x = T(s, dir, "documents")
+        .select(length(col("text")).cast("long").as("x"),
+          (pmod(col("doc_id"), lit(2)) === 0).as("isa"))
+      val counts = x.groupBy("x").agg(
+        sum(when(col("isa"), 1L).otherwise(0L)).as("ca"),
+        sum(when(!col("isa"), 1L).otherwise(0L)).as("cb"))
+      val w = org.apache.spark.sql.expressions.Window.orderBy("x")
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)
+      val tot = broadcast(x.agg(
+        sum(when(col("isa"), 1L).otherwise(0L)).as("na"),
+        sum(when(!col("isa"), 1L).otherwise(0L)).as("nb")))
+      counts
+        .select(col("x"), sum(col("ca")).over(w).as("fa"),
+          sum(col("cb")).over(w).as("fb"))
+        .crossJoin(tot)
+        .select(abs(col("fa").cast("double") / col("na").cast("double") -
+          col("fb").cast("double") / col("nb").cast("double")).as("d"))
+        .agg(max(col("d")).as("ksd"))
+        .crossJoin(tot)
+        .select(col("na").as("n_a"), col("nb").as("n_b"),
+          round(col("ksd"), 6).as("ks_d"),
+          round(lit(1.3581) * sqrt((col("na") + col("nb")).cast("double") /
+            (col("na").cast("double") * col("nb").cast("double"))), 6)
+            .as("threshold"),
+          (round(col("ksd"), 6) >
+            round(lit(1.3581) * sqrt((col("na") + col("nb")).cast("double") /
+              (col("na").cast("double") * col("nb").cast("double"))), 6))
+            .as("drift"))
     })
   )
 
@@ -3907,6 +3954,35 @@ object SparkEntry {
          |FROM ids JOIN r5 USING (id)
          |ORDER BY textrank DESC, word LIMIT 30""".stripMargin
     },
+    // q136 oracle: identical reduction — per-distinct-length counts,
+    // cumulative window over the value domain, one max; sums of CASE
+    // ints are CAST to BIGINT (the q49 HUGEINT rule)
+    "q136_ks_drift" ->
+      """WITH x AS (SELECT CAST(length(text) AS BIGINT) AS x,
+        |   (doc_id % 2 = 0) AS isa FROM documents),
+        |c AS (SELECT x,
+        |   CAST(sum(CASE WHEN isa THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+        |   CAST(sum(CASE WHEN NOT isa THEN 1 ELSE 0 END) AS BIGINT) AS cb
+        |  FROM x GROUP BY x),
+        |cum AS (SELECT x,
+        |   CAST(sum(ca) OVER (ORDER BY x ROWS BETWEEN UNBOUNDED PRECEDING
+        |     AND CURRENT ROW) AS BIGINT) AS fa,
+        |   CAST(sum(cb) OVER (ORDER BY x ROWS BETWEEN UNBOUNDED PRECEDING
+        |     AND CURRENT ROW) AS BIGINT) AS fb
+        |  FROM c),
+        |t AS (SELECT
+        |   CAST(sum(CASE WHEN isa THEN 1 ELSE 0 END) AS BIGINT) AS na,
+        |   CAST(sum(CASE WHEN NOT isa THEN 1 ELSE 0 END) AS BIGINT) AS nb
+        |  FROM x),
+        |d AS (SELECT max(abs(CAST(fa AS DOUBLE) / CAST(na AS DOUBLE)
+        |   - CAST(fb AS DOUBLE) / CAST(nb AS DOUBLE))) AS ksd
+        |  FROM cum, t)
+        |SELECT t.na AS n_a, t.nb AS n_b, round(d.ksd, 6) AS ks_d,
+        |  round(1.3581 * sqrt(CAST(t.na + t.nb AS DOUBLE)
+        |    / (CAST(t.na AS DOUBLE) * CAST(t.nb AS DOUBLE))), 6) AS threshold,
+        |  round(d.ksd, 6) > round(1.3581 * sqrt(CAST(t.na + t.nb AS DOUBLE)
+        |    / (CAST(t.na AS DOUBLE) * CAST(t.nb AS DOUBLE))), 6) AS drift
+        |FROM d, t""".stripMargin,
     // q124 oracle: the same in-degree table and CSN continuous-MLE
     // α̂ = 1 + n/Σln(d/x_min) recomputed in SQL; both engines divide
     // as DOUBLE and round α̂ at 6 dp (sum-order ulps ~1e-13)

@@ -52,7 +52,9 @@ class PlanGuardSpec extends SparkTestBase {
     "q127_opic",           // Σhist+1 importance normalizer (Opic.scala:79)
     "q129_bm25",           // doc-count N + avgdl scalars (Bm25.scala:49,53)
     "q131_pmi",            // unigram/bigram total scalars
-    "q132_graph_stats"     // edge/node/reciprocity 1-row counters
+    "q132_graph_stats",    // edge/node/reciprocity 1-row counters
+    "q136_ks_drift"        // cohort-size (na, nb) 1-row totals joined to
+                           // the domain-bounded ECDF + the final D row
   )
 
   /** Static SMJ where AQE re-plans at runtime (see scaladoc). */
@@ -67,7 +69,10 @@ class PlanGuardSpec extends SparkTestBase {
     * inputs bounded by the reference's contract: chains <= 10,000 rows
     * (csv_processor.py:68) — the bound is written at both call sites. */
   private val unpartitionedWindowAllowed = Set(
-    "q06_batch_assign"      // W6 batch slicing (Chains.scala withBatchId shape)
+    "q06_batch_assign",     // W6 batch slicing (Chains.scala withBatchId shape)
+    "q136_ks_drift"         // ECDF cumsum over DISTINCT doc lengths — the
+                            // window input is the value domain (~600 rows by
+                            // the doc-size contract), never corpus rows
   )
 
   private def walk(p: SparkPlan): Seq[SparkPlan] = p match {
