@@ -2647,6 +2647,39 @@ object SparkEntry {
             round(lit(1.3581) * sqrt((col("na") + col("nb")).cast("double") /
               (col("na").cast("double") * col("nb").cast("double"))), 6))
             .as("drift"))
+    }),
+
+    "q137_char_entropy" -> ((s, dir) => { // Shannon-entropy gibberish gate
+      // Per-doc character entropy H = log2(n) - (1/n)*SUM c_i*log2(c_i)
+      // — the classic gibberish/keyboard-mash and base64-blob detector
+      // (low H = repetitive junk, H near log2(alphabet) = encoded
+      // noise; CCNet/Gopher-family pipelines gate on it next to the
+      // repetition filters). Parity contract: the entropy SUM is a
+      // SEQUENTIAL fold over counts sorted by character — Spark
+      // aggregate() over the sorted (ch, c) structs, DuckDB
+      // list_reduce over list(term ORDER BY ch) with a prepended 0.0
+      // so both engines run ((0+t1)+t2)+... over byte-identical ASCII
+      // order; the remaining log2-libm delta is absorbed by the 6 dp
+      // round (the q76 precedent). One explode + one hash agg per
+      // doc_id, zero joins; the gate compares the ROUNDED H (q60).
+      val docs = T(s, dir, "documents")
+      val perChar = docs
+        .select(col("doc_id"), explode(split(col("text"), "")).as("ch"))
+        .filter(length(col("ch")) > 0)
+        .groupBy("doc_id", "ch").agg(count(lit(1)).as("c"))
+      perChar.groupBy("doc_id")
+        .agg(sum(col("c")).as("n"),
+          count(lit(1)).as("distinct_chars"),
+          aggregate(array_sort(collect_list(struct(col("ch"), col("c")))),
+            lit(0.0),
+            (acc, x) => acc + x.getField("c").cast("double") *
+              log2(x.getField("c").cast("double"))).as("__s"))
+        .select(col("doc_id"), col("n").as("n_chars"), col("distinct_chars"),
+          round(log2(col("n").cast("double")) -
+            col("__s") / col("n").cast("double"), 6).as("entropy"),
+          (round(log2(col("n").cast("double")) -
+            col("__s") / col("n").cast("double"), 6) < 3.0).as("low_entropy"))
+        .orderBy("doc_id")
     })
   )
 
@@ -3983,6 +4016,26 @@ object SparkEntry {
         |  round(d.ksd, 6) > round(1.3581 * sqrt(CAST(t.na + t.nb AS DOUBLE)
         |    / (CAST(t.na AS DOUBLE) * CAST(t.nb AS DOUBLE))), 6) AS drift
         |FROM d, t""".stripMargin,
+    // q137 oracle: identical per-(doc,char) counts; the entropy sum is
+    // list_reduce over char-ordered terms with a prepended 0.0 so the
+    // fold order matches Spark's aggregate() exactly
+    "q137_char_entropy" ->
+      """WITH pc AS (SELECT doc_id, ch, CAST(count(*) AS BIGINT) AS c
+        |  FROM (SELECT doc_id, unnest(regexp_split_to_array(text, '')) AS ch
+        |        FROM documents)
+        |  WHERE length(ch) > 0 GROUP BY doc_id, ch),
+        |agg AS (SELECT doc_id,
+        |   CAST(sum(c) AS BIGINT) AS n,
+        |   CAST(count(*) AS BIGINT) AS distinct_chars,
+        |   list_reduce(list_prepend(0.0,
+        |     list(CAST(c AS DOUBLE) * log2(CAST(c AS DOUBLE)) ORDER BY ch)),
+        |     (a, b) -> a + b) AS s
+        |  FROM pc GROUP BY doc_id)
+        |SELECT doc_id, n AS n_chars, distinct_chars,
+        |  round(log2(CAST(n AS DOUBLE)) - s / CAST(n AS DOUBLE), 6) AS entropy,
+        |  round(log2(CAST(n AS DOUBLE)) - s / CAST(n AS DOUBLE), 6) < 3.0
+        |    AS low_entropy
+        |FROM agg ORDER BY doc_id""".stripMargin,
     // q124 oracle: the same in-degree table and CSN continuous-MLE
     // α̂ = 1 + n/Σln(d/x_min) recomputed in SQL; both engines divide
     // as DOUBLE and round α̂ at 6 dp (sum-order ulps ~1e-13)
