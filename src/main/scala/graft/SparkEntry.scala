@@ -2680,6 +2680,26 @@ object SparkEntry {
           (round(log2(col("n").cast("double")) -
             col("__s") / col("n").cast("double"), 6) < 3.0).as("low_entropy"))
         .orderBy("doc_id")
+    }),
+
+    "q138_allpairs_join" -> ((s, dir) => { // exact similarity join (ppjoin)
+      // EXACT all-pairs Jaccard join at tau=0.6 over word-3-gram sets
+      // — the zero-false-negative companion to q25/q26's probabilistic
+      // near-dup generators. dedup/AllPairs prefix-filters on the
+      // ascending-df token order (Bayardo WWW'07), so candidates come
+      // from rare-token prefix collisions, never the full token
+      // self-join; the oracle runs the naive complete join — equality
+      // IS the completeness proof of the prefix filter at every test
+      // scale. Jaccard and its tau-gate are one double division from
+      // exact ints (IEEE-identical both engines).
+      val docs = T(s, dir, "documents")
+      val toks = docs.select(col("doc_id"),
+        explode(array_distinct(
+          TextOps.wordNgrams(TextOps.words(col("text")), 3))).as("g"))
+      dedup.AllPairs.jaccardJoin(toks, "doc_id", "g", tau = 0.6)
+        .select(col("a").as("doc_a"), col("b").as("doc_b"), col("inter"),
+          col("size_a"), col("size_b"), round(col("jaccard"), 6).as("jaccard"))
+        .orderBy("doc_a", "doc_b")
     })
   )
 
@@ -4036,6 +4056,28 @@ object SparkEntry {
         |  round(log2(CAST(n AS DOUBLE)) - s / CAST(n AS DOUBLE), 6) < 3.0
         |    AS low_entropy
         |FROM agg ORDER BY doc_id""".stripMargin,
+    // q138 oracle: the NAIVE complete gram join (every pair sharing a
+    // gram, exact jaccard, tau filter) — agreeing with the engine's
+    // prefix-filtered join proves the filter's completeness
+    "q138_allpairs_join" ->
+      s"""WITH w AS (SELECT doc_id, $duckWords AS ws FROM documents),
+         |g AS (SELECT DISTINCT doc_id,
+         |   ws[i] || ' ' || ws[i + 1] || ' ' || ws[i + 2] AS g
+         |  FROM w, unnest(range(1, len(ws) - 1)) AS t(i)),
+         |sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n
+         |  FROM g GROUP BY doc_id),
+         |i AS (SELECT a.doc_id AS da, b.doc_id AS db,
+         |   CAST(count(*) AS BIGINT) AS c
+         |  FROM g a JOIN g b ON a.g = b.g AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT i.da AS doc_a, i.db AS doc_b, i.c AS inter,
+         |  sa.n AS size_a, sb.n AS size_b,
+         |  round(CAST(i.c AS DOUBLE) / CAST(sa.n + sb.n - i.c AS DOUBLE), 6)
+         |    AS jaccard
+         |FROM i JOIN sz sa ON sa.doc_id = i.da
+         |  JOIN sz sb ON sb.doc_id = i.db
+         |WHERE CAST(i.c AS DOUBLE) / CAST(sa.n + sb.n - i.c AS DOUBLE) >= 0.6
+         |ORDER BY doc_a, doc_b""".stripMargin,
     // q124 oracle: the same in-degree table and CSN continuous-MLE
     // α̂ = 1 + n/Σln(d/x_min) recomputed in SQL; both engines divide
     // as DOUBLE and round α̂ at 6 dp (sum-order ulps ~1e-13)
