@@ -2700,6 +2700,39 @@ object SparkEntry {
         .select(col("a").as("doc_a"), col("b").as("doc_b"), col("inter"),
           col("size_a"), col("size_b"), round(col("jaccard"), 6).as("jaccard"))
         .orderBy("doc_a", "doc_b")
+    }),
+
+    "q139_neighborhood_fn" -> ((s, dir) => { // HyperANF neighborhood function
+      // N(v,t) = |ball(v,t)| for t=1..3 over the link graph — the
+      // reachability-growth profile (ANF KDD'02; HyperANF WWW'11).
+      // graph/HyperAnf runs BOTH paths: the exact (id, member)-rows
+      // loop (oracled below — 3 unrolled SQL expansions) and the
+      // HLL-sketch loop whose per-node state is m bytes per round
+      // regardless of ball size (the 100 TB path; register-max merges
+      // via the q101 algebra). The sketch path is gated IN-QUERY
+      // against the exact path: mean relative error per hop <= 2 %
+      // (p=12 linear-counting regime at these ball sizes), the
+      // q122/q101 estimate-vs-exact pattern. Output is the exact,
+      // SQL-expressible surface.
+      val nodes = T(s, dir, "documents").select("doc_id")
+      val edges = synthGraphEdges(nodes)
+        .localCheckpoint(false) // feeds both the exact and sketch loops
+      val exact = graph.HyperAnf.exactBalls(nodes, "doc_id", edges,
+        "src", "dst", hops = 3)
+      val est = graph.HyperAnf.sketchBalls(nodes, "doc_id", edges,
+        "src", "dst", hops = 3)
+      val err = exact.join(est, Seq("id"))
+        .agg(
+          avg(abs(col("est1") - col("ball1")) / col("ball1")).as("e1"),
+          avg(abs(col("est2") - col("ball2")) / col("ball2")).as("e2"),
+          avg(abs(col("est3") - col("ball3")) / col("ball3")).as("e3"))
+        .collect()(0)
+      for (i <- 0 until 3)
+        require(err.getDouble(i) <= 0.02,
+          s"HyperANF hop-${i + 1} mean relative error ${err.getDouble(i)} > 2%")
+      exact.select(col("id").as("doc_id"),
+          col("ball1"), col("ball2"), col("ball3"))
+        .orderBy("doc_id")
     })
   )
 
@@ -4078,6 +4111,32 @@ object SparkEntry {
          |  JOIN sz sb ON sb.doc_id = i.db
          |WHERE CAST(i.c AS DOUBLE) / CAST(sa.n + sb.n - i.c AS DOUBLE) >= 0.6
          |ORDER BY doc_a, doc_b""".stripMargin,
+    // q139 oracle: 3 unrolled exact ball expansions (MATERIALIZED —
+    // the q86 inlining rule); all-integer counts, no float parity
+    "q139_neighborhood_fn" ->
+      s"""WITH ids AS (SELECT doc_id AS id FROM documents),
+         |$synthEdgeSql,
+         |ed AS (SELECT DISTINCT src, dst FROM e),
+         |r0 AS MATERIALIZED (SELECT id, id AS m FROM ids),
+         |r1 AS MATERIALIZED (SELECT DISTINCT id, m FROM (
+         |   SELECT id, m FROM r0
+         |   UNION ALL SELECT r0.id, ed.dst AS m FROM r0
+         |     JOIN ed ON ed.src = r0.m)),
+         |r2 AS MATERIALIZED (SELECT DISTINCT id, m FROM (
+         |   SELECT id, m FROM r1
+         |   UNION ALL SELECT r1.id, ed.dst AS m FROM r1
+         |     JOIN ed ON ed.src = r1.m)),
+         |r3 AS MATERIALIZED (SELECT DISTINCT id, m FROM (
+         |   SELECT id, m FROM r2
+         |   UNION ALL SELECT r2.id, ed.dst AS m FROM r2
+         |     JOIN ed ON ed.src = r2.m)),
+         |b1 AS (SELECT id, CAST(count(*) AS BIGINT) AS ball1 FROM r1 GROUP BY id),
+         |b2 AS (SELECT id, CAST(count(*) AS BIGINT) AS ball2 FROM r2 GROUP BY id),
+         |b3 AS (SELECT id, CAST(count(*) AS BIGINT) AS ball3 FROM r3 GROUP BY id)
+         |SELECT ids.id AS doc_id, b1.ball1, b2.ball2, b3.ball3
+         |FROM ids JOIN b1 ON b1.id = ids.id JOIN b2 ON b2.id = ids.id
+         |  JOIN b3 ON b3.id = ids.id
+         |ORDER BY doc_id""".stripMargin,
     // q124 oracle: the same in-degree table and CSN continuous-MLE
     // α̂ = 1 + n/Σln(d/x_min) recomputed in SQL; both engines divide
     // as DOUBLE and round α̂ at 6 dp (sum-order ulps ~1e-13)
