@@ -2733,6 +2733,47 @@ object SparkEntry {
       exact.select(col("id").as("doc_id"),
           col("ball1"), col("ball2"), col("ball3"))
         .orderBy("doc_id")
+    }),
+
+    "q140_keyness" -> ((s, dir) => { // G2 log-likelihood keyness
+      // Dunning's log-likelihood ratio (CL'93) between the word
+      // distributions of two crawl cohorts (doc_id parity = old/new
+      // snapshot, the q136 pairing): which words DISTINGUISH the new
+      // dump — the standard corpus-comparison keyness test (spam-burst
+      // and topic-shift tripwire next to q136's length-shape KS).
+      // G2 = 2*(a*ln(a/Ea) + b*ln(b/Eb)) per word from the exact int
+      // contingency counts; the whole formula is one fixed op sequence
+      // from (a, b, NA, NB) — IEEE-identical both engines, libm ln
+      // ulps absorbed by the 6 dp round (q76). Zero cells contribute
+      // 0 (the lim x·ln x convention). One words scan, one hash agg;
+      // totals are 1-row in-plan scalars. Top-30 on the ROUNDED score
+      // (q54), min-count floor 10 (the q131 sparse-cell caveat).
+      val x = T(s, dir, "documents")
+        .select((pmod(col("doc_id"), lit(2)) === 0).as("isa"),
+          explode(TextOps.words(col("text"))).as("w"))
+      val counts = x.groupBy("w").agg(
+        sum(when(col("isa"), 1L).otherwise(0L)).as("a"),
+        sum(when(!col("isa"), 1L).otherwise(0L)).as("b"))
+        .localCheckpoint(false) // feeds totals + the scored rows
+      val tot = broadcast(counts.agg(
+        sum(col("a")).as("na"), sum(col("b")).as("nb")))
+      val d = (c: org.apache.spark.sql.Column) => c.cast("double")
+      counts.filter(col("a") + col("b") >= 10)
+        .crossJoin(tot)
+        .select(col("w").as("word"), col("a"), col("b"),
+          round(lit(2.0) * (
+            when(col("a") === 0, lit(0.0)).otherwise(
+              d(col("a")) * log(d(col("a")) /
+                (d(col("na")) * d(col("a") + col("b")) /
+                  d(col("na") + col("nb"))))) +
+            when(col("b") === 0, lit(0.0)).otherwise(
+              d(col("b")) * log(d(col("b")) /
+                (d(col("nb")) * d(col("a") + col("b")) /
+                  d(col("na") + col("nb")))))), 6).as("g2"),
+          (d(col("a")) / d(col("na")) > d(col("b")) / d(col("nb")))
+            .as("enriched_in_a"))
+        .orderBy(col("g2").desc, col("word"))
+        .limit(30)
     })
   )
 
@@ -4137,6 +4178,31 @@ object SparkEntry {
          |FROM ids JOIN b1 ON b1.id = ids.id JOIN b2 ON b2.id = ids.id
          |  JOIN b3 ON b3.id = ids.id
          |ORDER BY doc_id""".stripMargin,
+    // q140 oracle: identical contingency counts and the identical
+    // fixed-order G2 expression; sums CAST to BIGINT (q49 rule)
+    "q140_keyness" ->
+      s"""WITH x AS (SELECT (doc_id % 2 = 0) AS isa, unnest($duckWords) AS w
+         |  FROM documents),
+         |c AS (SELECT w,
+         |   CAST(sum(CASE WHEN isa THEN 1 ELSE 0 END) AS BIGINT) AS a,
+         |   CAST(sum(CASE WHEN NOT isa THEN 1 ELSE 0 END) AS BIGINT) AS b
+         |  FROM x GROUP BY w),
+         |t AS (SELECT CAST(sum(a) AS BIGINT) AS na,
+         |   CAST(sum(b) AS BIGINT) AS nb FROM c)
+         |SELECT c.w AS word, c.a, c.b,
+         |  round(2.0 * (
+         |    (CASE WHEN c.a = 0 THEN 0.0 ELSE
+         |      CAST(c.a AS DOUBLE) * ln(CAST(c.a AS DOUBLE) /
+         |        (CAST(t.na AS DOUBLE) * CAST(c.a + c.b AS DOUBLE) /
+         |          CAST(t.na + t.nb AS DOUBLE))) END) +
+         |    (CASE WHEN c.b = 0 THEN 0.0 ELSE
+         |      CAST(c.b AS DOUBLE) * ln(CAST(c.b AS DOUBLE) /
+         |        (CAST(t.nb AS DOUBLE) * CAST(c.a + c.b AS DOUBLE) /
+         |          CAST(t.na + t.nb AS DOUBLE))) END)), 6) AS g2,
+         |  CAST(c.a AS DOUBLE) / CAST(t.na AS DOUBLE)
+         |    > CAST(c.b AS DOUBLE) / CAST(t.nb AS DOUBLE) AS enriched_in_a
+         |FROM c, t WHERE c.a + c.b >= 10
+         |ORDER BY g2 DESC, word LIMIT 30""".stripMargin,
     // q124 oracle: the same in-degree table and CSN continuous-MLE
     // α̂ = 1 + n/Σln(d/x_min) recomputed in SQL; both engines divide
     // as DOUBLE and round α̂ at 6 dp (sum-order ulps ~1e-13)

@@ -53,8 +53,9 @@ class PlanGuardSpec extends SparkTestBase {
     "q129_bm25",           // doc-count N + avgdl scalars (Bm25.scala:49,53)
     "q131_pmi",            // unigram/bigram total scalars
     "q132_graph_stats",    // edge/node/reciprocity 1-row counters
-    "q136_ks_drift"        // cohort-size (na, nb) 1-row totals joined to
+    "q136_ks_drift",       // cohort-size (na, nb) 1-row totals joined to
                            // the domain-bounded ECDF + the final D row
+    "q140_keyness"         // cohort word-total (na, nb) 1-row scalars
   )
 
   /** Static SMJ where AQE re-plans at runtime (see scaladoc). */
