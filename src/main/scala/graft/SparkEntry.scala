@@ -2774,6 +2774,42 @@ object SparkEntry {
             .as("enriched_in_a"))
         .orderBy(col("g2").desc, col("word"))
         .limit(30)
+    }),
+
+    "q141_phrase_search" -> ((s, dir) => { // positional phrase queries
+      // Exact phrase retrieval over a POSITIONAL token index — the
+      // phrase half of the retrieval stack (q77 postings + q129 BM25
+      // rank docs; phrases need positions). The classic one-join
+      // evaluation: every (phrase, term, offset) probe row matches
+      // token (doc, pos) to a candidate START = pos − offset, and a
+      // start with ALL plen offsets matched is an occurrence — ONE
+      // broadcast probe join + ONE hash agg, no per-term self-join
+      // chain (at 10^10 tokens each extra phrase term would be another
+      // O(postings) join; this stays a single pass regardless of
+      // phrase length). Zero-hit probes stay in the output via the
+      // probe-spine left join. All-integer — no float parity.
+      import s.implicits._
+      val probes = q141Phrases.flatMap { p =>
+        val ts = p.split(" ")
+        ts.zipWithIndex.map { case (t, i) =>
+          (p, t, i.toLong, ts.length.toLong)
+        }
+      }.toDF("phrase", "term", "off", "plen")
+      val toks = T(s, dir, "documents")
+        .select(col("doc_id"), posexplode(TextOps.words(col("text"))))
+      val hits = toks
+        .join(broadcast(probes), col("col") === col("term"))
+        .groupBy(col("phrase"), col("plen"), col("doc_id"),
+          (col("pos") - col("off")).as("start"))
+        .agg(count(lit(1)).as("m"))
+        .filter(col("m") === col("plen"))
+      val agg = hits.groupBy("phrase").agg(count(lit(1)).as("n_hits"),
+        count_distinct(col("doc_id")).as("n_docs"))
+      probes.select("phrase").distinct()
+        .join(agg.hint("shuffle_hash"), Seq("phrase"), "left")
+        .select(col("phrase"), coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+          coalesce(col("n_docs"), lit(0L)).as("n_docs"))
+        .orderBy("phrase")
     })
   )
 
@@ -2781,6 +2817,13 @@ object SparkEntry {
     * with the DuckDB oracle. */
   private val q107Shared =
     "EXACT-SUBSTR/SHARED-LICENSE-BLOCK v1.0 #ABCDEF#0"
+
+  /** q141 probe phrases — 2/3-word phrases over the synthetic vocab
+    * (hot at at least one scale each) plus an absent one; shared
+    * verbatim with the oracle generator (the q99Dict pattern). */
+  private val q141Phrases = Seq(
+    "order fast", "table hash", "sort query", "data slow key",
+    "zzz absent phrase")
 
   /** q99 dictionary — 1/2/3-word entries over the synthetic vocab plus an
     * absent term; shared verbatim with the oracle generator. */
@@ -4203,6 +4246,33 @@ object SparkEntry {
          |    > CAST(c.b AS DOUBLE) / CAST(t.nb AS DOUBLE) AS enriched_in_a
          |FROM c, t WHERE c.a + c.b >= 10
          |ORDER BY g2 DESC, word LIMIT 30""".stripMargin,
+    // q141 oracle: identical start-alignment evaluation — probes
+    // interpolated from the SAME q141Phrases list; 1-based DuckDB
+    // positions cancel in pos − off within the engine
+    "q141_phrase_search" -> {
+      val probeRows = q141Phrases.flatMap { p =>
+        val ts = p.split(" ")
+        ts.zipWithIndex.map { case (t, i) =>
+          s"('${p}', '${t}', ${i}, ${ts.length})"
+        }
+      }.mkString(", ")
+      s"""WITH w AS (SELECT doc_id, $duckWords AS ws FROM documents),
+         |toks AS (SELECT doc_id, i AS pos, ws[i] AS w
+         |  FROM w, unnest(range(1, len(ws) + 1)) AS t(i)),
+         |probes(phrase, term, off, plen) AS (VALUES $probeRows),
+         |m AS (SELECT phrase, plen, doc_id, pos - off AS start,
+         |   count(*) AS c
+         |  FROM toks JOIN probes ON toks.w = probes.term
+         |  GROUP BY 1, 2, 3, 4 HAVING count(*) = plen),
+         |a AS (SELECT phrase, CAST(count(*) AS BIGINT) AS n_hits,
+         |   CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+         |  FROM m GROUP BY phrase)
+         |SELECT p.phrase, coalesce(a.n_hits, 0) AS n_hits,
+         |  coalesce(a.n_docs, 0) AS n_docs
+         |FROM (SELECT DISTINCT phrase FROM probes) p
+         |  LEFT JOIN a USING (phrase)
+         |ORDER BY phrase""".stripMargin
+    },
     // q124 oracle: the same in-degree table and CSN continuous-MLE
     // α̂ = 1 + n/Σln(d/x_min) recomputed in SQL; both engines divide
     // as DOUBLE and round α̂ at 6 dp (sum-order ulps ~1e-13)
