@@ -2810,6 +2810,30 @@ object SparkEntry {
         .select(col("phrase"), coalesce(col("n_hits"), lit(0L)).as("n_hits"),
           coalesce(col("n_docs"), lit(0L)).as("n_docs"))
         .orderBy("phrase")
+    }),
+
+    "q142_salsa" -> ((s, dir) => { // SALSA bipartite-walk ranking
+      // Lempel-Moran WWW'00: authority/hub scores as the BACK-forward
+      // random walk on the bipartite support — the TKC-resistant HITS
+      // variant production recommenders run. graph/Salsa does two
+      // stochastic half-joins per walk per iteration (no HITS L2
+      // normalization pass — the walk conserves mass by construction,
+      // and the query ASSERTS Sum(a) = Sum(h) = 1 to 1e-9 in-query).
+      // Oracle = the identical 4 iterations unrolled in SQL at 7 dp
+      // (the q103 parity argument).
+      val nodes = T(s, dir, "documents").select("doc_id")
+      val edges = synthGraphEdges(nodes)
+      val r = graph.Salsa.run(nodes, "doc_id", edges, "src", "dst",
+          iters = 4)
+        .localCheckpoint(false) // feeds the mass assert + the output
+      val sums = r.agg(sum(col("authority")).as("sa"),
+        sum(col("hub")).as("sh")).collect()(0)
+      require(math.abs(sums.getDouble(0) - 1.0) < 1e-9 &&
+        math.abs(sums.getDouble(1) - 1.0) < 1e-9,
+        s"SALSA walk leaked mass: a=${sums.getDouble(0)} h=${sums.getDouble(1)}")
+      r.select(col("doc_id"), round(col("authority"), 7).as("authority"),
+          round(col("hub"), 7).as("hub"))
+        .orderBy("doc_id")
     })
   )
 
@@ -4272,6 +4296,41 @@ object SparkEntry {
          |FROM (SELECT DISTINCT phrase FROM probes) p
          |  LEFT JOIN a USING (phrase)
          |ORDER BY phrase""".stripMargin
+    },
+    // q142 oracle: 4 unrolled SALSA iterations — each = two stochastic
+    // half-joins per walk, identical sum(v/deg) shapes, 7 dp
+    "q142_salsa" -> {
+      val iters = (1 to 4).map { k =>
+        val (pa, ph) = (s"a${k - 1}", s"h${k - 1}")
+        s"""sa$k AS (SELECT ed.src AS id, sum(a.v / ind.d) AS v
+           |  FROM ed JOIN $pa a ON ed.dst = a.id
+           |    JOIN ind ON ind.dst = ed.dst GROUP BY ed.src),
+           |a$k AS (SELECT ed.dst AS id, sum(s.v / outd.d) AS v
+           |  FROM ed JOIN sa$k s ON ed.src = s.id
+           |    JOIN outd ON outd.src = ed.src GROUP BY ed.dst),
+           |th$k AS (SELECT ed.dst AS id, sum(h.v / outd.d) AS v
+           |  FROM ed JOIN $ph h ON ed.src = h.id
+           |    JOIN outd ON outd.src = ed.src GROUP BY ed.dst),
+           |h$k AS (SELECT ed.src AS id, sum(t.v / ind.d) AS v
+           |  FROM ed JOIN th$k t ON ed.dst = t.id
+           |    JOIN ind ON ind.dst = ed.dst GROUP BY ed.src)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH ids AS (SELECT doc_id AS id FROM documents),
+         |$synthEdgeSql,
+         |ed AS (SELECT DISTINCT src, dst FROM e),
+         |ind AS (SELECT dst, count(*)::DOUBLE AS d FROM ed GROUP BY dst),
+         |outd AS (SELECT src, count(*)::DOUBLE AS d FROM ed GROUP BY src),
+         |a0 AS (SELECT dst AS id,
+         |   1.0 / (SELECT count(*)::DOUBLE FROM ind) AS v FROM ind),
+         |h0 AS (SELECT src AS id,
+         |   1.0 / (SELECT count(*)::DOUBLE FROM outd) AS v FROM outd),
+         |$iters
+         |SELECT ids.id AS doc_id,
+         |  round(coalesce(a4.v, 0.0), 7) AS authority,
+         |  round(coalesce(h4.v, 0.0), 7) AS hub
+         |FROM ids LEFT JOIN a4 ON a4.id = ids.id
+         |  LEFT JOIN h4 ON h4.id = ids.id
+         |ORDER BY doc_id""".stripMargin
     },
     // q124 oracle: the same in-degree table and CSN continuous-MLE
     // α̂ = 1 + n/Σln(d/x_min) recomputed in SQL; both engines divide
