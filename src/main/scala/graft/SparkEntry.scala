@@ -2834,6 +2834,31 @@ object SparkEntry {
       r.select(col("doc_id"), round(col("authority"), 7).as("authority"),
           round(col("hub"), 7).as("hub"))
         .orderBy("doc_id")
+    }),
+
+    "q143_ewma" -> ((s, dir) => { // per-key EWMA activity smoothing
+      // Exponentially-weighted moving average of each user's event
+      // values in time order (alpha = 0.2, s1 = x1 convention) — the
+      // smoothing signal adaptive recrawl/rate-limit schedulers track
+      // per host. EWMA is inherently ORDER-DEPENDENT, so the parity
+      // contract is the q137 sequential-fold pattern: Spark folds
+      // aggregate() over the (ts, event_id)-sorted struct list, DuckDB
+      // folds list_reduce over list(value ORDER BY ts, event_id) —
+      // identical IEEE op sequence 0.2*x + 0.8*acc both engines, same
+      // tie-break. One hash agg per user_id; the per-key list is
+      // session-bounded, never the stream.
+      val ev = T(s, dir, "events")
+      ev.groupBy("user_id").agg(
+          count(lit(1)).as("n_events"),
+          array_sort(collect_list(struct(col("ts"), col("event_id"),
+            col("value")))).as("__xs"))
+        .select(col("user_id"), col("n_events"),
+          round(aggregate(
+            slice(col("__xs"), lit(2), greatest(size(col("__xs")) - 1, lit(0))),
+            element_at(col("__xs"), 1).getField("value"),
+            (acc, x) => lit(0.2) * x.getField("value") + lit(0.8) * acc),
+            6).as("ewma"))
+        .orderBy("user_id")
     })
   )
 
@@ -4332,6 +4357,16 @@ object SparkEntry {
          |  LEFT JOIN h4 ON h4.id = ids.id
          |ORDER BY doc_id""".stripMargin
     },
+    // q143 oracle: identical sequential fold over the identically
+    // ordered value list (list_reduce init = first element = the
+    // s1 = x1 convention both sides)
+    "q143_ewma" ->
+      """WITH l AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+        |   list(value ORDER BY ts, event_id) AS xs
+        |  FROM events GROUP BY user_id)
+        |SELECT user_id, n_events,
+        |  round(list_reduce(xs, (a, b) -> 0.2 * b + 0.8 * a), 6) AS ewma
+        |FROM l ORDER BY user_id""".stripMargin,
     // q124 oracle: the same in-degree table and CSN continuous-MLE
     // α̂ = 1 + n/Σln(d/x_min) recomputed in SQL; both engines divide
     // as DOUBLE and round α̂ at 6 dp (sum-order ulps ~1e-13)
