@@ -2859,6 +2859,41 @@ object SparkEntry {
             (acc, x) => lit(0.2) * x.getField("value") + lit(0.8) * acc),
             6).as("ewma"))
         .orderBy("user_id")
+    }),
+
+    "q144_table_extract" -> ((s, dir) => { // HTML table → rows extraction
+      // Structured <table> extraction through the real DOM
+      // (expr/HtmlTableCells): tables in document order, thead/tbody
+      // transparent, cells indexed per row, is_header from th — the
+      // tabular scraping surface next to the CSS field extractors
+      // (facility rosters ARE html tables in the reference's domain).
+      // Payloads are planted deterministically from doc_id in-query
+      // (the q98 construction pattern): 2+doc_id%3 data rows, a second
+      // single-cell table on doc_id%5==0, and — the tolerance proof —
+      // ODD doc_ids omit EVERY </tr>, so the DOM's sloppy-row recovery
+      // must extract them identically to the well-formed evens. The
+      // oracle recomputes the expected cells from the same formula
+      // (q97 formula-level style), never parsing HTML.
+      val docs = T(s, dir, "documents").select("doc_id")
+      val nr = pmod(col("doc_id"), lit(3)) + 2
+      val dataRows = array_join(transform(sequence(lit(1), nr), i =>
+        concat(lit("<tr><td>item-"), col("doc_id").cast("string"), lit("-"),
+          i.cast("string"), lit("</td><td>"),
+          (col("doc_id") * i).cast("string"), lit("</td>"),
+          when(pmod(col("doc_id"), lit(2)) === 1, lit(""))
+            .otherwise(lit("</tr>")))), "")
+      val html = concat(
+        lit("<html><body><table><thead><tr><th>name</th><th>count</th>" +
+          "</tr></thead><tbody>"),
+        dataRows, lit("</tbody></table>"),
+        when(pmod(col("doc_id"), lit(5)) === 0,
+          lit("<table><tr><td>x</td></tr></table>")).otherwise(lit("")),
+        lit("</body></html>"))
+      docs.select(col("doc_id"), explode(gf.html_table_cells(html)).as("c"))
+        .select(col("doc_id"), col("c.table").as("table_idx"),
+          col("c.row").as("row_idx"), col("c.col").as("col_idx"),
+          col("c.is_header").as("is_header"), col("c.cell").as("cell"))
+        .orderBy("doc_id", "table_idx", "row_idx", "col_idx")
     })
   )
 
@@ -4367,6 +4402,27 @@ object SparkEntry {
         |SELECT user_id, n_events,
         |  round(list_reduce(xs, (a, b) -> 0.2 * b + 0.8 * a), 6) AS ewma
         |FROM l ORDER BY user_id""".stripMargin,
+    // q144 oracle: the planted-table formula recomputed directly —
+    // header row 0, data rows 1..nr, second table for doc_id%5==0;
+    // never parses HTML (the q97 formula-level contract)
+    "q144_table_extract" ->
+      """WITH d AS (SELECT doc_id, doc_id % 3 + 2 AS nr FROM documents),
+        |hdr AS (SELECT doc_id, 0 AS table_idx, 0 AS row_idx,
+        |   v.c AS col_idx, true AS is_header,
+        |   CASE v.c WHEN 0 THEN 'name' ELSE 'count' END AS cell
+        |  FROM d, (VALUES (0), (1)) v(c)),
+        |dat AS (SELECT doc_id, 0 AS table_idx, CAST(i AS INT) AS row_idx,
+        |   0 AS col_idx, false AS is_header,
+        |   'item-' || doc_id::VARCHAR || '-' || i::VARCHAR AS cell
+        |  FROM d, unnest(range(1, nr + 1)) t(i)
+        | UNION ALL
+        | SELECT doc_id, 0, CAST(i AS INT), 1, false, (doc_id * i)::VARCHAR
+        |  FROM d, unnest(range(1, nr + 1)) t(i)),
+        |ext AS (SELECT doc_id, 1 AS table_idx, 0 AS row_idx, 0 AS col_idx,
+        |   false AS is_header, 'x' AS cell FROM d WHERE doc_id % 5 = 0)
+        |SELECT * FROM (SELECT * FROM hdr UNION ALL SELECT * FROM dat
+        |  UNION ALL SELECT * FROM ext)
+        |ORDER BY doc_id, table_idx, row_idx, col_idx""".stripMargin,
     // q124 oracle: the same in-degree table and CSN continuous-MLE
     // α̂ = 1 + n/Σln(d/x_min) recomputed in SQL; both engines divide
     // as DOUBLE and round α̂ at 6 dp (sum-order ulps ~1e-13)

@@ -199,6 +199,12 @@ object gf {
     column(CssExtract(
       expression(html) +: (baseSelector +: fieldSelectors).map(s => expression(lit(s)))))
 
+  /** Structured `<table>` extraction through the real DOM: one struct
+    * per cell (table, row, col, is_header, cell) — see
+    * [[graft.expr.HtmlTableCells]]. */
+  def html_table_cells(html: Column): Column =
+    column(HtmlTableCells(expression(html)))
+
   /** Reference URLScorer score (url_scorer.py:44-115) as one codegen'd
     * expression node; base nullable (null → depth 0). */
   def url_score(url: Column, base: Column): Column =
@@ -311,6 +317,8 @@ object gf {
       es => DeflateRatio(es.head), "scala_udf")
     reg.createOrReplaceTempFunction("main_content",
       es => MainContentExtract(es.head, 10, 0.33), "scala_udf")
+    reg.createOrReplaceTempFunction("html_table_cells",
+      es => HtmlTableCells(es.head), "scala_udf")
     reg.createOrReplaceTempFunction("robots_decision",
       es => RobotsDecision(es(0), es(1), es(2)), "scala_udf")
     reg.createOrReplaceTempFunction("registrable_domain",
