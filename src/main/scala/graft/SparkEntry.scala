@@ -2894,6 +2894,53 @@ object SparkEntry {
           col("c.row").as("row_idx"), col("c.col").as("col_idx"),
           col("c.is_header").as("is_header"), col("c.cell").as("cell"))
         .orderBy("doc_id", "table_idx", "row_idx", "col_idx")
+    }),
+
+    "q145_mmr_rerank" -> ((s, dir) => { // MMR diversified retrieval
+      // Maximal Marginal Relevance (Carbonell & Goldstein SIGIR'98):
+      // re-rank the exact top-12 cosine candidates (q28's distributed
+      // path) into 6 DIVERSE picks — score = 0.7*rel − 0.3*max-sim-to-
+      // selected, greedy. The candidate pool is k-bounded BY
+      // CONSTRUCTION (a re-rank stage), so the greedy runs driver-side
+      // over 12 rows — the IVF-centroid collect convention; all the
+      // distributed work (scan + TakeOrdered top-k) happened upstream.
+      // Parity: cosineScalar is bit-identical to the column cosine
+      // (same fold order), each step ranks on the ROUNDED 4 dp score
+      // with vec_id tie-break (q54), and the oracle unrolls the same
+      // 6 greedy steps over list_cosine_similarity (the q28-proven
+      // 4 dp cross-engine agreement).
+      import s.implicits._
+      val vecs = T(s, dir, "embeddings")
+      val qv = vecs.filter(col("vec_id") === 0)
+        .select("embedding").collect()(0).getSeq[Float](0)
+      val cands = ann.Similarity.topK(vecs.filter(col("vec_id") =!= 0),
+          "vec_id", "embedding", qv, 12)
+        .join(vecs.select("vec_id", "embedding").hint("shuffle_hash"),
+          Seq("vec_id"))
+        .collect()
+        .map(r => (r.getLong(0), r.getDouble(1),
+          r.getSeq[Float](2).map(_.toDouble).toIndexedSeq))
+      def r4(x: Double) =
+        BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      val byId = cands.map(c => c._1 -> c._3).toMap
+      val selected =
+        scala.collection.mutable.ArrayBuffer[(Int, Long, Double, Double)]()
+      var remaining = cands.toList
+      for (step <- 1 to 6) {
+        val scored = remaining.map { case (id, rel, v) =>
+          val pen = if (selected.isEmpty) 0.0
+            else selected.map(t =>
+              ann.Similarity.cosineScalar(v, byId(t._2))).max
+          (id, rel, r4(0.7 * rel - 0.3 * pen))
+        }
+        val pick = scored.minBy { case (id, _, mmr) => (-mmr, id) }
+        selected += ((step, pick._1, pick._2, pick._3))
+        remaining = remaining.filterNot(_._1 == pick._1)
+      }
+      selected.toSeq
+        .map { case (rk, id, rel, mmr) => (rk, id, r4(rel), mmr) }
+        .toDF("sel_rank", "vec_id", "rel", "mmr")
+        .orderBy("sel_rank")
     })
   )
 
@@ -4423,6 +4470,41 @@ object SparkEntry {
         |SELECT * FROM (SELECT * FROM hdr UNION ALL SELECT * FROM dat
         |  UNION ALL SELECT * FROM ext)
         |ORDER BY doc_id, table_idx, row_idx, col_idx""".stripMargin,
+    // q145 oracle: the same 6 greedy MMR steps unrolled (MATERIALIZED);
+    // candidate cutoff ranks on the UNROUNDED rel like q28, each step
+    // ranks on the ROUNDED 4 dp mmr with vec_id tie-break
+    "q145_mmr_rerank" -> {
+      val steps = (2 to 6).map { k =>
+        val prev = s"sel${k - 1}"
+        s"""s$k AS MATERIALIZED (
+           | SELECT $k AS sel_rank, c.vec_id, c.rel,
+           |   round(0.7*c.rel - 0.3*(SELECT max(list_cosine_similarity(c.v, cs.v))
+           |     FROM $prev s JOIN c cs ON cs.vec_id = s.vec_id), 4) AS mmr
+           | FROM c WHERE c.vec_id NOT IN (SELECT vec_id FROM $prev)
+           | ORDER BY mmr DESC, c.vec_id LIMIT 1),
+           |sel$k AS MATERIALIZED (SELECT vec_id FROM $prev
+           | UNION ALL SELECT vec_id FROM s$k)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH q AS MATERIALIZED (
+         | SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+         |c AS MATERIALIZED (
+         | SELECT vec_id, embedding::DOUBLE[] AS v,
+         |   list_cosine_similarity(embedding::DOUBLE[], (SELECT qv FROM q)) AS rel
+         | FROM embeddings WHERE vec_id <> 0
+         | ORDER BY list_cosine_similarity(embedding::DOUBLE[], (SELECT qv FROM q))
+         |   DESC, vec_id LIMIT 12),
+         |s1 AS MATERIALIZED (
+         | SELECT 1 AS sel_rank, vec_id, rel,
+         |   round(0.7*rel - 0.3*0.0, 4) AS mmr
+         | FROM c ORDER BY mmr DESC, vec_id LIMIT 1),
+         |sel1 AS MATERIALIZED (SELECT vec_id FROM s1),
+         |$steps
+         |SELECT sel_rank, vec_id, round(rel, 4) AS rel, mmr FROM (
+         | SELECT * FROM s1 UNION ALL SELECT * FROM s2
+         | UNION ALL SELECT * FROM s3 UNION ALL SELECT * FROM s4
+         | UNION ALL SELECT * FROM s5 UNION ALL SELECT * FROM s6)
+         |ORDER BY sel_rank""".stripMargin
+    },
     // q124 oracle: the same in-degree table and CSN continuous-MLE
     // α̂ = 1 + n/Σln(d/x_min) recomputed in SQL; both engines divide
     // as DOUBLE and round α̂ at 6 dp (sum-order ulps ~1e-13)

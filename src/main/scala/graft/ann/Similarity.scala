@@ -94,8 +94,10 @@ object Similarity {
    * first `nCentroids` vectors by id — deterministic; k-means iterations
    * would refine but aren't needed to exercise the plumbing.
    */
-  /** Driver-side cosine between two dense vectors. */
-  private def cosineScalar(a: Seq[Double], b: Seq[Double]): Double = {
+  /** Driver-side cosine between two dense vectors — the same fold order
+    * as the column [[cosine]], so the two are bit-identical (q145's MMR
+    * re-rank relies on it). */
+  def cosineScalar(a: Seq[Double], b: Seq[Double]): Double = {
     var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
     while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
     val den = math.sqrt(na) * math.sqrt(nb)
