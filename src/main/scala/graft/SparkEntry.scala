@@ -2941,6 +2941,27 @@ object SparkEntry {
         .map { case (rk, id, rel, mmr) => (rk, id, r4(rel), mmr) }
         .toDF("sel_rank", "vec_id", "rel", "mmr")
         .orderBy("sel_rank")
+    }),
+
+    "q146_harmonic" -> ((s, dir) => { // truncated harmonic centrality
+      // Harmonic centrality h(v) = Σ_u 1/d(v,u), hop-truncated at 3
+      // (Boldi & Vigna "Axioms for centrality": THE principled
+      // closeness variant for disconnected web graphs — unreachable
+      // nodes contribute 0, no infinity bookkeeping). Derived EXACTLY
+      // from q139's integer ball sizes: nodes at distance 1 are
+      // b1 − 1 (self excluded), at 2 are b2 − b1, at 3 are b3 − b2, so
+      // h = (b1−1) + (b2−b1)/2 + (b3−b2)/3 — one fixed-order formula
+      // from exact ints, IEEE-identical both engines (q105), on top of
+      // the same graph/HyperAnf exact loop. Rounded 6 dp.
+      val nodes = T(s, dir, "documents").select("doc_id")
+      val edges = synthGraphEdges(nodes)
+      val d = (c: org.apache.spark.sql.Column) => c.cast("double")
+      graph.HyperAnf.exactBalls(nodes, "doc_id", edges, "src", "dst",
+          hops = 3)
+        .select(col("id").as("doc_id"),
+          round(d(col("ball1") - 1) + d(col("ball2") - col("ball1")) / 2.0 +
+            d(col("ball3") - col("ball2")) / 3.0, 6).as("harmonic"))
+        .orderBy("doc_id")
     })
   )
 
@@ -4505,6 +4526,34 @@ object SparkEntry {
          | UNION ALL SELECT * FROM s5 UNION ALL SELECT * FROM s6)
          |ORDER BY sel_rank""".stripMargin
     },
+    // q146 oracle: the q139 ball expansion + the exact-int harmonic
+    // formula (self excluded at distance 1)
+    "q146_harmonic" ->
+      s"""WITH ids AS (SELECT doc_id AS id FROM documents),
+         |$synthEdgeSql,
+         |ed AS (SELECT DISTINCT src, dst FROM e),
+         |r0 AS MATERIALIZED (SELECT id, id AS m FROM ids),
+         |r1 AS MATERIALIZED (SELECT DISTINCT id, m FROM (
+         |   SELECT id, m FROM r0
+         |   UNION ALL SELECT r0.id, ed.dst AS m FROM r0
+         |     JOIN ed ON ed.src = r0.m)),
+         |r2 AS MATERIALIZED (SELECT DISTINCT id, m FROM (
+         |   SELECT id, m FROM r1
+         |   UNION ALL SELECT r1.id, ed.dst AS m FROM r1
+         |     JOIN ed ON ed.src = r1.m)),
+         |r3 AS MATERIALIZED (SELECT DISTINCT id, m FROM (
+         |   SELECT id, m FROM r2
+         |   UNION ALL SELECT r2.id, ed.dst AS m FROM r2
+         |     JOIN ed ON ed.src = r2.m)),
+         |b AS (SELECT ids.id,
+         |   (SELECT count(*) FROM r1 WHERE r1.id = ids.id) AS b1,
+         |   (SELECT count(*) FROM r2 WHERE r2.id = ids.id) AS b2,
+         |   (SELECT count(*) FROM r3 WHERE r3.id = ids.id) AS b3
+         |  FROM ids)
+         |SELECT id AS doc_id,
+         |  round(CAST(b1 - 1 AS DOUBLE) + CAST(b2 - b1 AS DOUBLE) / 2.0
+         |    + CAST(b3 - b2 AS DOUBLE) / 3.0, 6) AS harmonic
+         |FROM b ORDER BY doc_id""".stripMargin,
     // q124 oracle: the same in-degree table and CSN continuous-MLE
     // α̂ = 1 + n/Σln(d/x_min) recomputed in SQL; both engines divide
     // as DOUBLE and round α̂ at 6 dp (sum-order ulps ~1e-13)
