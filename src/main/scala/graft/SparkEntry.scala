@@ -2962,6 +2962,59 @@ object SparkEntry {
           round(d(col("ball1") - 1) + d(col("ball2") - col("ball1")) / 2.0 +
             d(col("ball3") - col("ball2")) / 3.0, 6).as("harmonic"))
         .orderBy("doc_id")
+    }),
+
+    "q147_sliding_errors" -> ((s, dir) => { // DGIM sliding-window counts
+      // "Errors among this user's last 32 events" — the sliding-window
+      // rate signal a politeness/backoff scheduler tracks per host.
+      // Exact path (the oracled output): partitioned row_number window
+      // + hash agg. Sketch path: core/Dgim exponential histograms
+      // (SODA'02) folded per key in ONE mapGroups pass — O(log² N)
+      // buckets instead of the N-bit window, the state a 10^10-host
+      // always-on monitor can actually carry. The DGIM CERTIFIED bound
+      // (⌈oldest straddling bucket/2⌉, reported by the sketch itself)
+      // is asserted against the exact count per key in-query, and the
+      // sketch path's own exact fold must equal the window-based
+      // output exactly (catches any ordering skew between the two).
+      import s.implicits._
+      val N = 32
+      val ev = T(s, dir, "events").select(col("user_id"), col("ts"),
+        col("event_id"), (col("event_type") === "error").as("bit"))
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("user_id")
+        .orderBy(col("ts").desc, col("event_id").desc)
+      val exact = ev.withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") <= N)
+        .groupBy("user_id").agg(count(lit(1)).as("n_recent"),
+          sum(when(col("bit"), 1L).otherwise(0L)).as("errors_recent"))
+        .localCheckpoint(false) // feeds the gate join + the output
+      val sketch = ev
+        .as[(Long, java.sql.Timestamp, Long, Boolean)]
+        .groupByKey(_._1)
+        .mapGroups { (uid, it) =>
+          val evs = it.toArray.sortBy(e =>
+            (e._2.toInstant.getEpochSecond, e._2.toInstant.getNano.toLong,
+              e._3))
+          val d = new graft.core.Dgim(4)
+          var t = 0L
+          evs.foreach { e => t += 1; d.add(t, e._4) }
+          val (est, err) = d.estimate(t, N.toLong)
+          val exactLocal =
+            evs.takeRight(math.min(N, evs.length)).count(_._4).toLong
+          (uid, est, err, exactLocal)
+        }
+        .toDF("user_id", "est", "err", "exact_local")
+      val checks = exact
+        .join(sketch.hint("shuffle_hash"), Seq("user_id")).collect()
+      checks.foreach { r =>
+        val (ex, est, err, exl) =
+          (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))
+        require(exl == ex,
+          s"sketch-path ordering skew for user ${r.getLong(0)}: $exl != $ex")
+        require(math.abs(est - ex) <= err,
+          s"DGIM bound violated for user ${r.getLong(0)}: " +
+            s"est=$est exact=$ex err=$err")
+      }
+      exact.orderBy("user_id")
     })
   )
 
@@ -4554,6 +4607,17 @@ object SparkEntry {
          |  round(CAST(b1 - 1 AS DOUBLE) + CAST(b2 - b1 AS DOUBLE) / 2.0
          |    + CAST(b3 - b2 AS DOUBLE) / 3.0, 6) AS harmonic
          |FROM b ORDER BY doc_id""".stripMargin,
+    // q147 oracle: the exact last-32 window per user (BIGINT casts per
+    // the q49 rule; identical desc tie-break)
+    "q147_sliding_errors" ->
+      """WITH r AS (SELECT user_id, event_type,
+        |   row_number() OVER (PARTITION BY user_id
+        |     ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events)
+        |SELECT user_id, CAST(count(*) AS BIGINT) AS n_recent,
+        |  CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS errors_recent
+        |FROM r WHERE rn <= 32 GROUP BY user_id ORDER BY user_id""".stripMargin,
     // q124 oracle: the same in-degree table and CSN continuous-MLE
     // α̂ = 1 + n/Σln(d/x_min) recomputed in SQL; both engines divide
     // as DOUBLE and round α̂ at 6 dp (sum-order ulps ~1e-13)
