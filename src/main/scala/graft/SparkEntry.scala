@@ -3015,6 +3015,30 @@ object SparkEntry {
             s"est=$est exact=$ex err=$err")
       }
       exact.orderBy("user_id")
+    }),
+
+    "q148_edit_blocking" -> ((s, dir) => { // SymSpell edit-distance join
+      // Levenshtein<=1 variant detection over short keys via FastSS
+      // deletion-neighborhood blocking (dedup/SymSpell) — the typo/
+      // cybersquat matcher gram-set similarity can't express on short
+      // strings. Keys are planted from doc_id (the q144 construction
+      // pattern): 40 'key-NNNNNN' bases, with doc_id%7==0 docs
+      // mutating one digit at a doc-dependent position to 'x' —
+      // guaranteed dist-1 pairs at every scale, same formula in both
+      // engines. The oracle is the NAIVE complete pair scan
+      // (completeness-by-equality, the q138 contract). All-integer +
+      // string ops — no float parity.
+      val docs = T(s, dir, "documents").select("doc_id")
+      val base = concat(lit("key-"),
+        lpad(pmod(col("doc_id"), lit(40)).cast("string"), 6, "0"))
+      val p = (pmod(col("doc_id"), lit(5)) + 5).cast("int")
+      val key = when(pmod(col("doc_id"), lit(7)) === 0,
+        concat(base.substr(lit(1), p - 1), lit("x"),
+          base.substr(p + 1, length(base))))
+        .otherwise(base)
+      dedup.SymSpell.edit1Join(docs.select(key.as("k")), "k")
+        .select(col("key_a"), col("key_b"), col("dist"))
+        .orderBy("key_a", "key_b")
     })
   )
 
@@ -4618,6 +4642,22 @@ object SparkEntry {
         |  CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
         |    AS BIGINT) AS errors_recent
         |FROM r WHERE rn <= 32 GROUP BY user_id ORDER BY user_id""".stripMargin,
+    // q148 oracle: identical planted keys, NAIVE complete pair scan —
+    // agreement proves the deletion-neighborhood blocking complete
+    "q148_edit_blocking" ->
+      """WITH kk AS (SELECT DISTINCT
+        |   CASE WHEN doc_id % 7 = 0 THEN
+        |     substring('key-' || lpad((doc_id % 40)::VARCHAR, 6, '0'),
+        |       1, CAST(doc_id % 5 + 5 AS INT) - 1) || 'x' ||
+        |     substring('key-' || lpad((doc_id % 40)::VARCHAR, 6, '0'),
+        |       CAST(doc_id % 5 + 5 AS INT) + 1)
+        |   ELSE 'key-' || lpad((doc_id % 40)::VARCHAR, 6, '0') END AS k
+        |  FROM documents)
+        |SELECT a.k AS key_a, b.k AS key_b,
+        |  CAST(levenshtein(a.k, b.k) AS INT) AS dist
+        |FROM kk a JOIN kk b ON a.k < b.k
+        |WHERE levenshtein(a.k, b.k) <= 1
+        |ORDER BY key_a, key_b""".stripMargin,
     // q124 oracle: the same in-degree table and CSN continuous-MLE
     // α̂ = 1 + n/Σln(d/x_min) recomputed in SQL; both engines divide
     // as DOUBLE and round α̂ at 6 dp (sum-order ulps ~1e-13)
