@@ -3039,6 +3039,32 @@ object SparkEntry {
       dedup.SymSpell.edit1Join(docs.select(key.as("k")), "k")
         .select(col("key_a"), col("key_b"), col("dist"))
         .orderBy("key_a", "key_b")
+    }),
+
+    "q149_dust_rules" -> ((s, dir) => { // DUST rewrite-rule mining
+      // Bar-Yossef et al. WWW'07 "Do not crawl in the DUST": mine the
+      // substring-substitution rules that map url aliases to their
+      // canonical form, so the frontier canonicalizes BEFORE fetching.
+      // Alias pairs are the q97 declared-canonical universe (bare/
+      // ?utm/amp variants; doc_id%5==0 declare nothing); each pair
+      // yields a rule via expr/DustRule's real LCP-then-LCS strip
+      // (spec-tested on arbitrary strings), support counted by one
+      // hash agg, floor 5. The oracle recomputes rules + support
+      // straight from the synthesis formula (the q97/q144 contract) —
+      // both planted rules survive at every scale; cross-engine byte
+      // order breaks the support tie ('/amp' < '?utm...').
+      val pairs = T(s, dir, "documents")
+        .select(col("doc_id"), docUrl.as("canon"),
+          explode(array(lit("?utm_source=feed"), lit("/amp"))).as("suffix"))
+        .filter(pmod(col("doc_id"), lit(5)) =!= 0)
+        .select(concat(col("canon"), col("suffix")).as("page_url"),
+          col("canon").as("canonical"))
+      pairs
+        .select(gf.dust_rule(col("page_url"), col("canonical")).as("r"))
+        .groupBy(col("r.alpha").as("alpha"), col("r.beta").as("beta"))
+        .agg(count(lit(1)).as("support"))
+        .filter(col("support") >= 5)
+        .orderBy(col("support").desc, col("alpha"))
     })
   )
 
@@ -4658,6 +4684,19 @@ object SparkEntry {
         |FROM kk a JOIN kk b ON a.k < b.k
         |WHERE levenshtein(a.k, b.k) <= 1
         |ORDER BY key_a, key_b""".stripMargin,
+    // q149 oracle: both planted rules + support straight from the
+    // synthesis formula (never re-implements LCP in SQL — the q97
+    // formula-level contract)
+    "q149_dust_rules" ->
+      """WITH n AS (SELECT CAST(count(*) AS BIGINT) AS s
+        |  FROM documents WHERE doc_id % 5 <> 0)
+        |SELECT alpha, beta, support FROM (
+        |  SELECT '?utm_source=feed' AS alpha, '' AS beta,
+        |    (SELECT s FROM n) AS support
+        |  UNION ALL
+        |  SELECT '/amp', '', (SELECT s FROM n))
+        |WHERE support >= 5
+        |ORDER BY support DESC, alpha""".stripMargin,
     // q124 oracle: the same in-degree table and CSN continuous-MLE
     // α̂ = 1 + n/Σln(d/x_min) recomputed in SQL; both engines divide
     // as DOUBLE and round α̂ at 6 dp (sum-order ulps ~1e-13)

@@ -205,6 +205,12 @@ object gf {
   def html_table_cells(html: Column): Column =
     column(HtmlTableCells(expression(html)))
 
+  /** DustBuster rewrite rule for a url alias pair: strip longest common
+    * prefix then suffix → struct(alpha, beta) (see
+    * [[graft.expr.DustRule]]). */
+  def dust_rule(a: Column, b: Column): Column =
+    column(DustRule(expression(a), expression(b)))
+
   /** Reference URLScorer score (url_scorer.py:44-115) as one codegen'd
     * expression node; base nullable (null → depth 0). */
   def url_score(url: Column, base: Column): Column =
