@@ -3065,6 +3065,36 @@ object SparkEntry {
         .agg(count(lit(1)).as("support"))
         .filter(col("support") >= 5)
         .orderBy(col("support").desc, col("alpha"))
+    }),
+
+    "q150_double_sweep" -> ((s, dir) => { // diameter lower bound (2-sweep)
+      // The standard double-sweep diameter estimate (Magnien, Latapy &
+      // Habib's BFS bounds): BFS from a deterministic seed (min id),
+      // take the farthest reached node (tie: min id), BFS again from
+      // it — the second eccentricity is a certified LOWER bound on the
+      // directed diameter within the explored 6-hop horizon. Composes
+      // graph/Bfs twice with 1-ROW seed DataFrames (argmax via
+      // TakeOrdered, never collected to the driver); all-integer, the
+      // oracle unrolls both 6-level BFS expansions with the identical
+      // tie-break.
+      val nodes = T(s, dir, "documents").select("doc_id")
+      val edges = synthGraphEdges(nodes)
+        .localCheckpoint(false) // feeds both sweeps
+      val seed = nodes.orderBy("doc_id").limit(1)
+      val d1 = graph.Bfs.seedHops(nodes, "doc_id", edges, "src", "dst",
+        seed, maxHops = 6)
+      val far1 = d1.filter(col("hop") >= 0)
+        .orderBy(col("hop").desc, col("doc_id")).limit(1)
+        .localCheckpoint(false) // seeds sweep 2 AND joins the output
+      val d2 = graph.Bfs.seedHops(nodes, "doc_id", edges, "src", "dst",
+        far1.select("doc_id"), maxHops = 6)
+      val far2 = d2.filter(col("hop") >= 0)
+        .orderBy(col("hop").desc, col("doc_id")).limit(1)
+      seed.select(col("doc_id").as("seed_id"))
+        .crossJoin(far1.select(col("doc_id").as("far_id"),
+          col("hop").as("ecc_seed")))
+        .crossJoin(far2.select(col("doc_id").as("far2_id"),
+          col("hop").as("diameter_lb")))
     })
   )
 
@@ -4697,6 +4727,32 @@ object SparkEntry {
         |  SELECT '/amp', '', (SELECT s FROM n))
         |WHERE support >= 5
         |ORDER BY support DESC, alpha""".stripMargin,
+    // q150 oracle: both 6-level BFS expansions unrolled (min-hop over
+    // full re-expansion ≡ the engine's frontier-only BFS — both exact),
+    // identical (hop DESC, id) tie-break
+    "q150_double_sweep" -> {
+      def sweep(pre: String, seedCte: String) = (1 to 6).map { k =>
+        val p = s"$pre${k - 1}"
+        s"""$pre$k AS MATERIALIZED (SELECT id, min(hop) AS hop FROM (
+           |  SELECT id, hop FROM $p
+           |  UNION ALL SELECT e.dst AS id, d.hop + 1 AS hop
+           |   FROM e JOIN $p d ON e.src = d.id) GROUP BY id)""".stripMargin
+      }.mkString(",\n") match { case levels =>
+        s"""${pre}0 AS MATERIALIZED (SELECT id, 0 AS hop FROM $seedCte),
+           |$levels""".stripMargin
+      }
+      s"""WITH ids AS (SELECT doc_id AS id FROM documents),
+         |$synthEdgeSql,
+         |s0 AS (SELECT min(id) AS id FROM ids),
+         |${sweep("a", "s0")},
+         |f1 AS (SELECT id, hop FROM a6 ORDER BY hop DESC, id LIMIT 1),
+         |${sweep("b", "f1")},
+         |f2 AS (SELECT id, hop FROM b6 ORDER BY hop DESC, id LIMIT 1)
+         |SELECT (SELECT id FROM s0) AS seed_id,
+         |  f1.id AS far_id, CAST(f1.hop AS BIGINT) AS ecc_seed,
+         |  f2.id AS far2_id, CAST(f2.hop AS BIGINT) AS diameter_lb
+         |FROM f1, f2""".stripMargin
+    },
     // q124 oracle: the same in-degree table and CSN continuous-MLE
     // α̂ = 1 + n/Σln(d/x_min) recomputed in SQL; both engines divide
     // as DOUBLE and round α̂ at 6 dp (sum-order ulps ~1e-13)

@@ -55,7 +55,9 @@ class PlanGuardSpec extends SparkTestBase {
     "q132_graph_stats",    // edge/node/reciprocity 1-row counters
     "q136_ks_drift",       // cohort-size (na, nb) 1-row totals joined to
                            // the domain-bounded ECDF + the final D row
-    "q140_keyness"         // cohort word-total (na, nb) 1-row scalars
+    "q140_keyness",        // cohort word-total (na, nb) 1-row scalars
+    "q150_double_sweep"    // seed/farthest 1-row TakeOrdered rows joined
+                           // into the single-row output
   )
 
   /** Static SMJ where AQE re-plans at runtime (see scaladoc). */
