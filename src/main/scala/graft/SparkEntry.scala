@@ -2594,6 +2594,9 @@ object SparkEntry {
         .join(wordIds.select(col("word").as("wd"), col("id").as("dst"))
           .hint("shuffle_hash"), Seq("wd"))
         .select("src", "dst")
+        .localCheckpoint(false) // PageRank derives contrib AND dangling
+                                // from edges — checkpoint so the bigram
+                                // scan happens once, not per derivation
       val ranks = graph.PageRank.run(wordIds.select("id"), "id",
         edges, "src", "dst", damping = 0.85, iters = 5)
       ranks.join(wordIds.hint("shuffle_hash"), Seq("id"))
