@@ -233,6 +233,64 @@ object PlanAudit {
     val bmQ = Seq(("bm1", "merge"), ("bm1", "join")).toDF("query_id", "term")
     graft.text.Bm25.topDocs(docs, "doc_id", "text", bmQ).explain("formatted")
 
+    println("==== triangles: degree-ordered orient, apex wedge self-join + (v,w) closure equi-join (never all-pairs) ====")
+    val u3 = prEdges.select(least($"src", $"dst").as("a"),
+        greatest($"src", $"dst").as("b")).filter($"a" =!= $"b").distinct()
+    val deg3 = u3.select($"a".as("id")).unionByName(u3.select($"b".as("id")))
+      .groupBy("id").agg(count(lit(1)).as("d"))
+    val low3 = $"da" < $"db" || ($"da" === $"db" && $"a" < $"b")
+    val o3 = u3
+      .join(deg3.select($"id".as("a"), $"d".as("da")), "a")
+      .join(deg3.select($"id".as("b"), $"d".as("db")), "b")
+      .select(when(low3, $"a").otherwise($"b").as("u"),
+        when(low3, $"b").otherwise($"a").as("v"))
+    o3.as("e1")
+      .join(o3.as("e2").hint("shuffle_hash"),
+        col("e1.u") === col("e2.u") && col("e1.v") =!= col("e2.v"))
+      .select(col("e1.u").as("x"), col("e1.v").as("y"), col("e2.v").as("z"))
+      .join(o3.select($"u".as("y"), $"v".as("z")).hint("shuffle_hash"),
+        Seq("y", "z"))
+      .explain("formatted")
+
+    println("==== all-pairs prefix filter: prefix⋈prefix candidate join + join-shaped verify (post-checkpoint stages) ====")
+    graft.dedup.AllPairs.jaccardJoin(
+      docs.select($"doc_id", explode(array_distinct(
+        graft.text.TextOps.wordNgrams(graft.text.TextOps.words($"text"), 3)))
+        .as("g")),
+      "doc_id", "g", 0.6).explain("formatted")
+
+    println("==== HyperANF hop: edge⋈sketch SHJ pull + register-max hll_merge_agg (m bytes/node cross the wire) ====")
+    graft.graph.HyperAnf.sketchBalls(prNodes, "id", prEdges, "src", "dst",
+      hops = 1).explain("formatted")
+
+    println("==== SALSA iteration: two stochastic half-joins per walk, no normalization pass ====")
+    graft.graph.Salsa.run(prNodes, "id", prEdges, "src", "dst",
+      iters = 1, checkpointRounds = false).explain("formatted")
+
+    println("==== k-core peel round: degree hash agg + two shuffle-hash semi-joins over surviving adjacency ====")
+    val adj3 = u3.select($"a".as("x"), $"b".as("y"))
+      .unionByName(u3.select($"b".as("x"), $"a".as("y")))
+    val keep3 = adj3.groupBy("x").agg(count(lit(1)).as("d"))
+      .filter($"d" >= 4).select($"x".as("id"))
+    adj3
+      .join(keep3.select($"id".as("x")).hint("shuffle_hash"), Seq("x"), "semi")
+      .join(keep3.select($"id".as("y")).hint("shuffle_hash"), Seq("y"), "semi")
+      .explain("formatted")
+
+    println("==== phrase search: ONE broadcast probe join + start-alignment hash agg (any phrase length) ====")
+    val probes3 = Seq(("p1", "merge", 0L, 2L), ("p1", "join", 1L, 2L))
+      .toDF("phrase", "term", "off", "plen")
+    docs.select($"doc_id", posexplode(graft.text.TextOps.words($"text")))
+      .join(broadcast(probes3), $"col" === $"term")
+      .groupBy($"phrase", $"plen", $"doc_id", ($"pos" - $"off").as("start"))
+      .agg(count(lit(1)).as("m")).filter($"m" === $"plen")
+      .explain("formatted")
+
+    println("==== SymSpell edit-1: deletion-variant equi-join + levenshtein verify (post-checkpoint stages) ====")
+    graft.dedup.SymSpell.edit1Join(
+      docs.select(concat(lit("k"), pmod($"doc_id", lit(40)).cast("string"))
+        .as("k")), "k").explain("formatted")
+
     spark.stop()
   }
 }
