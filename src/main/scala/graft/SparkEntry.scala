@@ -3098,6 +3098,98 @@ object SparkEntry {
           col("hop").as("ecc_seed")))
         .crossJoin(far2.select(col("doc_id").as("far2_id"),
           col("hop").as("diameter_lb")))
+    }),
+
+    "q151_cusum" -> ((s, dir) => { // CUSUM drift alarm per key
+      // One-sided CUSUM (Page 1954) over each user's event values in
+      // time order: S_i = max(0, S_{i-1} + x_i - (mu + k)) with FIXED
+      // offline-designed control constants (mu=25, k=5, alarm h=40) —
+      // the change-point tripwire next to q143's EWMA smoothing
+      // (EWMA tracks the level; CUSUM accumulates evidence of a
+      // sustained shift). Order-dependent recurrence ⇒ the q143
+      // sequential-fold parity contract: identical (ts, event_id)
+      // order, identical greatest(0, a + b - 30) op sequence, DuckDB
+      // list_reduce init = prepended 0.0 (the q137 trick). Alarm
+      // compares the ROUNDED statistic (q60).
+      val ev = T(s, dir, "events")
+      ev.groupBy("user_id").agg(
+          count(lit(1)).as("n_events"),
+          array_sort(collect_list(struct(col("ts"), col("event_id"),
+            col("value")))).as("__xs"))
+        .select(col("user_id"), col("n_events"),
+          round(aggregate(col("__xs"), lit(0.0),
+            (acc, x) => greatest(lit(0.0),
+              acc + x.getField("value") - lit(30.0))), 6).as("cusum"))
+        .withColumn("alarm", col("cusum") > 40.0)
+        .orderBy("user_id")
+    }),
+
+    "q152_fairness" -> ((s, dir) => { // Jain fairness of crawl allocation
+      // Jain's index J = (Σc)² / (n·Σc²) over per-source page counts —
+      // the one-number fairness monitor for crawl-budget allocation
+      // (J = 1 perfectly even, → 1/n when one host hogs the crawl;
+      // the politeness scheduler's KPI). Both moment sums are
+      // INTEGER-exact; each is cast to double BEFORE the products
+      // (the q132 overflow + parity convention). One hash agg + one
+      // 1-row reduction.
+      val c = T(s, dir, "documents").groupBy("source")
+        .agg(count(lit(1)).as("c"))
+      c.agg(count(lit(1)).as("n_sources"), sum(col("c")).as("total"),
+          sum(col("c") * col("c")).as("__ss"))
+        .select(col("n_sources"), col("total"),
+          round(col("total").cast("double") * col("total").cast("double") /
+            (col("n_sources").cast("double") * col("__ss").cast("double")),
+            6).as("jain"))
+    }),
+
+    "q153_revisit_gaps" -> ((s, dir) => { // inter-arrival percentiles
+      // Per-user inter-arrival-time profile (p50/p90 gaps in micros) —
+      // the revisit-interval statistic the q72 adaptive-recrawl
+      // scheduler consumes. Gaps are EXACT integer micro differences
+      // via a PARTITIONED lag window; Spark percentile() on exact
+      // ints ≡ DuckDB quantile_cont exactly (the q53 parity result).
+      val ev = T(s, dir, "events")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      // ts is TIMESTAMP_NTZ; cast for unix_micros — gaps are DIFFS, so
+      // the session-zone offset cancels and epoch_us parity holds
+      val us = unix_micros(col("ts").cast("timestamp"))
+      ev.select(col("user_id"),
+          (us - lag(us, 1).over(w)).as("gap"))
+        .filter(col("gap").isNotNull)
+        .groupBy("user_id").agg(
+          count(lit(1)).as("n_gaps"),
+          // report SECONDS: micro-magnitude interpolants (~1e11) leave
+          // no double headroom for a 4 dp round — the last-ulp
+          // quantile-interpolation delta survived it (first red row of
+          // the session); at ~1e4 seconds the round absorbs it
+          round(percentile(col("gap"), lit(0.5)) / 1e6, 4).as("p50_gap_s"),
+          round(percentile(col("gap"), lit(0.9)) / 1e6, 4).as("p90_gap_s"))
+        .orderBy("user_id")
+    }),
+
+    "q154_gram_novelty" -> ((s, dir) => { // first-seen n-gram novelty
+      // Per-doc novelty = fraction of its distinct word-3-grams whose
+      // FIRST occurrence (min doc_id, the crawl-arrival proxy) is this
+      // doc — the curation signal that separates template rehash from
+      // new content (dataset-curation dedup literature's "novel token
+      // fraction"). One exploded-distinct gram scan, one min-agg, one
+      // equi-join back, one count agg; novelty is a single division
+      // from exact ints (IEEE-identical).
+      val g = T(s, dir, "documents").select(col("doc_id"),
+          explode(array_distinct(TextOps.wordNgrams(
+            TextOps.words(col("text")), 3))).as("g"))
+        .localCheckpoint(false) // feeds first-seen agg + the join back
+      val first = g.groupBy("g").agg(min(col("doc_id")).as("__first"))
+      g.join(first.hint("shuffle_hash"), Seq("g"))
+        .groupBy("doc_id").agg(
+          count(lit(1)).as("n_grams"),
+          sum(when(col("__first") === col("doc_id"), 1L).otherwise(0L))
+            .as("n_novel"))
+        .select(col("doc_id"), col("n_grams"), col("n_novel"),
+          round(col("n_novel").cast("double") / col("n_grams").cast("double"),
+            6).as("novelty"))
+        .orderBy("doc_id")
     })
   )
 
@@ -4756,6 +4848,56 @@ object SparkEntry {
          |  f2.id AS far2_id, CAST(f2.hop AS BIGINT) AS diameter_lb
          |FROM f1, f2""".stripMargin
     },
+    // q151 oracle: identical sequential fold over the identically
+    // ordered value list with a prepended 0.0 init (q137/q143)
+    "q151_cusum" ->
+      """WITH l AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+        |   list(value ORDER BY ts, event_id) AS xs
+        |  FROM events GROUP BY user_id)
+        |SELECT user_id, n_events,
+        |  round(list_reduce(list_prepend(0.0, xs),
+        |    (a, b) -> greatest(0.0, a + b - 30.0)), 6) AS cusum,
+        |  round(list_reduce(list_prepend(0.0, xs),
+        |    (a, b) -> greatest(0.0, a + b - 30.0)), 6) > 40.0 AS alarm
+        |FROM l ORDER BY user_id""".stripMargin,
+    // q152 oracle: integer moment sums, cast to double BEFORE the
+    // products (the q132 convention)
+    "q152_fairness" ->
+      """WITH c AS (SELECT source, CAST(count(*) AS BIGINT) AS c
+        |  FROM documents GROUP BY source),
+        |m AS (SELECT CAST(count(*) AS BIGINT) AS n_sources,
+        |   CAST(sum(c) AS BIGINT) AS total,
+        |   CAST(sum(c * c) AS BIGINT) AS ss FROM c)
+        |SELECT n_sources, total,
+        |  round(CAST(total AS DOUBLE) * CAST(total AS DOUBLE)
+        |    / (CAST(n_sources AS DOUBLE) * CAST(ss AS DOUBLE)), 6) AS jain
+        |FROM m""".stripMargin,
+    // q153 oracle: exact integer micro gaps via the same partitioned
+    // lag; quantile_cont ≡ Spark percentile on exact ints (q53)
+    "q153_revisit_gaps" ->
+      """WITH g AS (SELECT user_id,
+        |   epoch_us(ts) - lag(epoch_us(ts), 1) OVER (
+        |     PARTITION BY user_id ORDER BY ts, event_id) AS gap
+        |  FROM events)
+        |SELECT user_id, CAST(count(*) AS BIGINT) AS n_gaps,
+        |  round(quantile_cont(gap, 0.5) / 1000000.0, 4) AS p50_gap_s,
+        |  round(quantile_cont(gap, 0.9) / 1000000.0, 4) AS p90_gap_s
+        |FROM g WHERE gap IS NOT NULL
+        |GROUP BY user_id ORDER BY user_id""".stripMargin,
+    // q154 oracle: identical first-seen min-agg + join-back counting
+    "q154_gram_novelty" ->
+      s"""WITH w AS (SELECT doc_id, $duckWords AS ws FROM documents),
+         |g AS (SELECT DISTINCT doc_id,
+         |   ws[i] || ' ' || ws[i + 1] || ' ' || ws[i + 2] AS g
+         |  FROM w, unnest(range(1, len(ws) - 1)) AS t(i)),
+         |f AS (SELECT g, min(doc_id) AS first_doc FROM g GROUP BY g)
+         |SELECT g.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+         |  CAST(sum(CASE WHEN f.first_doc = g.doc_id THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_novel,
+         |  round(CAST(sum(CASE WHEN f.first_doc = g.doc_id THEN 1 ELSE 0 END)
+         |      AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS novelty
+         |FROM g JOIN f USING (g)
+         |GROUP BY g.doc_id ORDER BY g.doc_id""".stripMargin,
     // q124 oracle: the same in-degree table and CSN continuous-MLE
     // α̂ = 1 + n/Σln(d/x_min) recomputed in SQL; both engines divide
     // as DOUBLE and round α̂ at 6 dp (sum-order ulps ~1e-13)
