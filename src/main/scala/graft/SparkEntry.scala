@@ -3190,6 +3190,76 @@ object SparkEntry {
           round(col("n_novel").cast("double") / col("n_grams").cast("double"),
             6).as("novelty"))
         .orderBy("doc_id")
+    }),
+
+    "q155_benford" -> ((s, dir) => { // Benford first-digit audit
+      // Benford's-law conformance per source over event values — the
+      // classic synthetic/fabricated-numbers tripwire (a scraped
+      // metrics table whose first digits are uniform was generated,
+      // not measured). Values are centified to EXACT ints first
+      // (round(value*100) — both engines' identical double mult +
+      // round), the leading digit comes from integer string length +
+      // one exact power-of-ten division (no log10 on data), the nine
+      // expected-frequency constants are INTERPOLATED LITERALS shared
+      // with the SQL (zero engine libm involvement), and chi² is the
+      // q137 digit-ordered sequential fold over a complete digit
+      // spine (absent digits count 0 — they still contribute their
+      // expected mass). Verdict on the ROUNDED chi² vs the alpha=0.05
+      // 8-df critical value.
+      val ev = T(s, dir, "events")
+      val c = round(col("value") * 100, 0).cast("long")
+      val vals = ev.select(col("user_id"), c.as("c")).filter(col("c") >= 100)
+        .select((pmod(col("user_id"), lit(3))).cast("int").as("cohort"),
+          floor(col("c").cast("double") /
+            pow(lit(10.0), (length(col("c").cast("string")) - 1)
+              .cast("double"))).cast("int").as("d"))
+      val counts = vals.groupBy("cohort", "d").agg(count(lit(1)).as("o"))
+      val spine = vals.select("cohort").distinct()
+        .select(col("cohort"), explode(sequence(lit(1), lit(9))).as("d"))
+      val kd = q155BenfordK.zipWithIndex.foldLeft(lit(0.0)) {
+        case (acc, (k, i)) => when(col("d") === i + 1, lit(k)).otherwise(acc)
+      }
+      val grid = spine.join(counts.hint("shuffle_hash"), Seq("cohort", "d"), "left")
+        .select(col("cohort"), col("d"),
+          coalesce(col("o"), lit(0L)).as("o"), kd.as("k"))
+      val tot = grid.groupBy("cohort").agg(sum(col("o")).as("n_values"))
+      grid.join(tot.hint("shuffle_hash"), Seq("cohort"))
+        .select(col("cohort"), col("n_values"), col("d"),
+          ((col("o").cast("double") -
+            col("n_values").cast("double") * col("k")) *
+            (col("o").cast("double") -
+              col("n_values").cast("double") * col("k")) /
+            (col("n_values").cast("double") * col("k"))).as("t"))
+        .groupBy("cohort", "n_values")
+        .agg(aggregate(array_sort(collect_list(struct(col("d"), col("t")))),
+          lit(0.0), (acc, x) => acc + x.getField("t")).as("__chi2"))
+        .select(col("cohort"), col("n_values"),
+          round(col("__chi2"), 6).as("chi2"),
+          (round(col("__chi2"), 6) > 15.5073).as("non_benford"))
+        .orderBy("cohort")
+    }),
+
+    "q156_vocab_growth" -> ((s, dir) => { // Heaps / hapax corpus profile
+      // Per-source vocabulary diagnostics: token count N, vocabulary
+      // V, hapax legomena (words seen once — the OCR-garbage and
+      // boilerplate-template tell: garbage inflates hapax, templating
+      // collapses it), hapax/V, and the Heaps'-law exponent estimate
+      // beta = ln V / ln N (V ~ N^beta; natural text ~0.5-0.7). All
+      // inputs are exact ints; each output is one fixed-order formula
+      // (q105), rounded 6 dp.
+      val toks = T(s, dir, "documents").select(col("source"),
+        explode(TextOps.words(col("text"))).as("w"))
+      val wc = toks.groupBy("source", "w").agg(count(lit(1)).as("c"))
+      wc.groupBy("source").agg(
+          sum(col("c")).as("n_tokens"),
+          count(lit(1)).as("vocab"),
+          sum(when(col("c") === 1, 1L).otherwise(0L)).as("hapax"))
+        .select(col("source"), col("n_tokens"), col("vocab"), col("hapax"),
+          round(col("hapax").cast("double") / col("vocab").cast("double"),
+            6).as("hapax_ratio"),
+          round(log(col("vocab").cast("double")) /
+            log(col("n_tokens").cast("double")), 6).as("heaps_beta"))
+        .orderBy("source")
     })
   )
 
@@ -3197,6 +3267,15 @@ object SparkEntry {
     * with the DuckDB oracle. */
   private val q107Shared =
     "EXACT-SUBSTR/SHARED-LICENSE-BLOCK v1.0 #ABCDEF#0"
+
+  /** Benford expected first-digit frequencies log10(1 + 1/d), d = 1..9 —
+    * 17-digit literals INTERPOLATED verbatim into both engines' plans
+    * (q155): no runtime libm involvement, so chi-square parity is
+    * arithmetic-only. */
+  private val q155BenfordK = Seq(
+    0.30102999566398120, 0.17609125905568124, 0.12493873660829993,
+    0.09691001300805642, 0.07918124604762482, 0.06694678963061322,
+    0.05799194697768673, 0.05115252244738129, 0.04575749056067514)
 
   /** q141 probe phrases — 2/3-word phrases over the synthetic vocab
     * (hot at at least one scale each) plus an absent one; shared
@@ -4898,6 +4977,53 @@ object SparkEntry {
          |      AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS novelty
          |FROM g JOIN f USING (g)
          |GROUP BY g.doc_id ORDER BY g.doc_id""".stripMargin,
+    // q155 oracle: identical centify → string-length digit → complete
+    // digit spine → literal expected frequencies → digit-ordered fold
+    "q155_benford" -> {
+      val kCase = q155BenfordK.zipWithIndex
+        .map { case (k, i) => s"WHEN ${i + 1} THEN $k" }.mkString(" ")
+      s"""WITH v AS (SELECT user_id,
+         |   CAST(round(value * 100, 0) AS BIGINT) AS c FROM events),
+         |dd AS (SELECT CAST(user_id % 3 AS INT) AS cohort,
+         |   CAST(floor(CAST(c AS DOUBLE)
+         |     / pow(10, length(c::VARCHAR) - 1)) AS INT) AS d
+         |  FROM v WHERE c >= 100),
+         |o AS (SELECT cohort, d, CAST(count(*) AS BIGINT) AS o
+         |  FROM dd GROUP BY cohort, d),
+         |sp AS (SELECT DISTINCT dd.cohort, CAST(g.d AS INT) AS d
+         |  FROM dd, (SELECT unnest(range(1, 10)) AS d) g),
+         |grid AS (SELECT sp.cohort, sp.d, coalesce(o.o, 0) AS o,
+         |   CASE sp.d $kCase END AS k
+         |  FROM sp LEFT JOIN o ON o.cohort = sp.cohort AND o.d = sp.d),
+         |tot AS (SELECT cohort, CAST(sum(o) AS BIGINT) AS n_values
+         |  FROM grid GROUP BY cohort),
+         |tm AS (SELECT g.cohort, tot.n_values, g.d,
+         |   (CAST(g.o AS DOUBLE) - CAST(tot.n_values AS DOUBLE) * g.k)
+         |   * (CAST(g.o AS DOUBLE) - CAST(tot.n_values AS DOUBLE) * g.k)
+         |   / (CAST(tot.n_values AS DOUBLE) * g.k) AS t
+         |  FROM grid g JOIN tot USING (cohort)),
+         |a AS (SELECT cohort, n_values,
+         |   list_reduce(list_prepend(0.0, list(t ORDER BY d)),
+         |     (x, y) -> x + y) AS chi2
+         |  FROM tm GROUP BY cohort, n_values)
+         |SELECT cohort, n_values, round(chi2, 6) AS chi2,
+         |  round(chi2, 6) > 15.5073 AS non_benford
+         |FROM a ORDER BY cohort""".stripMargin
+    },
+    // q156 oracle: identical per-source word counts + fixed-order
+    // formulas from exact ints
+    "q156_vocab_growth" ->
+      s"""WITH toks AS (SELECT source, unnest($duckWords) AS w FROM documents),
+         |wc AS (SELECT source, w, CAST(count(*) AS BIGINT) AS c
+         |  FROM toks GROUP BY source, w)
+         |SELECT source, CAST(sum(c) AS BIGINT) AS n_tokens,
+         |  CAST(count(*) AS BIGINT) AS vocab,
+         |  CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hapax,
+         |  round(CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+         |    / CAST(count(*) AS DOUBLE), 6) AS hapax_ratio,
+         |  round(ln(CAST(count(*) AS DOUBLE))
+         |    / ln(CAST(sum(c) AS DOUBLE)), 6) AS heaps_beta
+         |FROM wc GROUP BY source ORDER BY source""".stripMargin,
     // q124 oracle: the same in-degree table and CSN continuous-MLE
     // α̂ = 1 + n/Σln(d/x_min) recomputed in SQL; both engines divide
     // as DOUBLE and round α̂ at 6 dp (sum-order ulps ~1e-13)
