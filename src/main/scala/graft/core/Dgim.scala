@@ -24,13 +24,28 @@ import scala.collection.mutable.ArrayBuffer
  * assert it against an exact oracle (q147 does, per key, in-query);
  * with `maxPerSize` = r, the relative error is bounded by 1/(2(r−1))
  * (r = 4 here → ≤ 16.7 %).
+ *
+ * Expiry (ADVICE r4): when a `window` bound is known at construction,
+ * `add` drops buckets whose newest timestamp has left the window
+ * (standard DGIM expiry) — state is then O(maxPerSize · log window)
+ * for any stream length, the always-on-monitor contract. `estimate`
+ * may be asked for any window ≤ the construction bound. With
+ * `window = 0` (unbounded) nothing expires and state grows
+ * O(maxPerSize · log streamLength).
  */
-final class Dgim(val maxPerSize: Int = 4) extends Serializable {
+final class Dgim(val maxPerSize: Int = 4, val window: Long = 0L)
+    extends Serializable {
 
   // (newest-1 timestamp, log2 size), oldest first
   private val buckets = ArrayBuffer[(Long, Int)]()
 
   def add(t: Long, bit: Boolean): Unit = {
+    // expire on EVERY arrival (0-bits advance time too): a bucket whose
+    // newest 1 is at or before t - window can never intersect a future
+    // estimate window ending >= t
+    if (window > 0L)
+      while (buckets.nonEmpty && buckets.head._1 <= t - window)
+        buckets.remove(0)
     if (!bit) return
     buckets += ((t, 0))
     var k = 0
@@ -81,6 +96,7 @@ final class Dgim(val maxPerSize: Int = 4) extends Serializable {
     else (total - oldest + (oldest + 1) / 2, (oldest + 1) / 2)
   }
 
-  /** Bucket count (state size) — O(maxPerSize · log window). */
+  /** Bucket count — O(maxPerSize · log window) when a `window` bound
+    * expires old buckets; O(maxPerSize · log streamLength) unbounded. */
   def stateSize: Int = buckets.length
 }

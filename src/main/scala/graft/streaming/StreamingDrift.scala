@@ -100,7 +100,12 @@ object StreamingDrift {
   }
 
   /** The q136 KS readout over a (x, ca, cb) counts table:
-    * (n_a, n_b, ks_d, threshold, drift) — identical arithmetic. */
+    * (n_a, n_b, ks_d, threshold, drift) — identical arithmetic.
+    * Early-stream guard (ADVICE r4): until BOTH cohorts have at least
+    * one observation a two-sample D is undefined — rather than emit
+    * NaN/NULL the readout reports ks_d = 0, threshold = NULL,
+    * drift = false ("no drift yet"), so an always-on alerter never
+    * fires off a one-cohort prefix. */
   def ksStat(counts: DataFrame): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window.orderBy("x")
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
@@ -111,18 +116,29 @@ object StreamingDrift {
       .select(col("x"), sum(col("ca")).over(w).as("fa"),
         sum(col("cb")).over(w).as("fb"))
       .crossJoin(tot)
-      .select(abs(col("fa").cast("double") / col("na").cast("double") -
-        col("fb").cast("double") / col("nb").cast("double")).as("d"))
+      // nullif guards the one-cohort prefix: under ANSI, double /0 THROWS;
+      // a null divisor yields null d rows, swallowed by max() below
+      .select(abs(col("fa").cast("double") /
+          nullif(col("na"), lit(0L)).cast("double") -
+        col("fb").cast("double") /
+          nullif(col("nb"), lit(0L)).cast("double")).as("d"))
       .agg(max(col("d")).as("ksd"))
       .crossJoin(tot)
-      .select(col("na").as("n_a"), col("nb").as("n_b"),
-        round(col("ksd"), 6).as("ks_d"),
-        round(lit(1.3581) * sqrt((col("na") + col("nb")).cast("double") /
-          (col("na").cast("double") * col("nb").cast("double"))), 6)
-          .as("threshold"),
-        (round(col("ksd"), 6) >
+      .select(col("na"), col("nb"), col("ksd"),
+        (coalesce(col("na"), lit(0L)) > 0L &&
+          coalesce(col("nb"), lit(0L)) > 0L).as("__both"))
+      .select(coalesce(col("na"), lit(0L)).as("n_a"),
+        coalesce(col("nb"), lit(0L)).as("n_b"),
+        when(col("__both"), round(col("ksd"), 6)).otherwise(lit(0.0))
+          .as("ks_d"),
+        when(col("__both"),
           round(lit(1.3581) * sqrt((col("na") + col("nb")).cast("double") /
             (col("na").cast("double") * col("nb").cast("double"))), 6))
-          .as("drift"))
+          .as("threshold"),
+        when(col("__both"),
+          round(col("ksd"), 6) >
+            round(lit(1.3581) * sqrt((col("na") + col("nb")).cast("double") /
+              (col("na").cast("double") * col("nb").cast("double"))), 6))
+          .otherwise(lit(false)).as("drift"))
   }
 }

@@ -78,10 +78,51 @@ class PlanGuardSpec extends SparkTestBase {
                             // the doc-size contract), never corpus rows
   )
 
+  /** sum(<integral> * <integral>) — the ANSI-overflow class (VERDICT r4
+    * #1: q132/q152 long-product moment sums). A long×long product inside
+    * an integral Sum overflows (and under ANSI, THROWS) once per-row
+    * values reach ~10^9.5; the rule is cast to double BEFORE the
+    * product. No query is allowed this shape; an allowlist entry would
+    * need a written per-row-value bound at the call site. */
+  private val sumOfIntegralProductAllowed = Set.empty[String]
+
+  private def hasIntegralProductSum(
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Boolean = {
+    import org.apache.spark.sql.catalyst.expressions.Multiply
+    import org.apache.spark.sql.catalyst.expressions.aggregate.Sum
+    import org.apache.spark.sql.types.{ByteType, ShortType, IntegerType, LongType}
+    val integral = Set[org.apache.spark.sql.types.DataType](
+      ByteType, ShortType, IntegerType, LongType)
+    plan.collectWithSubqueries {
+      case p => p.expressions.exists(_.exists {
+        case s: Sum => s.child.exists {
+          case m: Multiply => integral(m.dataType)
+          case _ => false
+        }
+        case _ => false
+      })
+    }.contains(true)
+  }
+
   private def walk(p: SparkPlan): Seq[SparkPlan] = p match {
     case a: AdaptiveSparkPlanExec => a.initialPlan +: walk(a.initialPlan)
     case _ => p +: (p.children.flatMap(walk) ++
       p.subqueries.flatMap(s => s +: walk(s)))
+  }
+
+  test("the sum(<integral>*<integral>) detector fires on the q132/q152 defect shape") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val df = Seq(1L, 2L).toDF("c")
+    assert(hasIntegralProductSum(
+      df.agg(sum(col("c") * col("c"))).queryExecution.analyzed),
+      "detector must flag an integral-product Sum")
+    assert(!hasIntegralProductSum(
+      df.agg(sum(col("c").cast("double") * col("c").cast("double")))
+        .queryExecution.analyzed),
+      "detector must pass the cast-before-product fix")
+    assert(!hasIntegralProductSum(
+      df.agg(sum(col("c"))).queryExecution.analyzed))
   }
 
   test("no CartesianProduct; SMJ/BNLJ only on documented patterns — every driver query") {
@@ -108,6 +149,9 @@ class PlanGuardSpec extends SparkTestBase {
         }
         if (hasGlobalWindow && !unpartitionedWindowAllowed(name))
           violations += s"$name: undocumented UNPARTITIONED Window (global sort)"
+        if (hasIntegralProductSum(df.queryExecution.analyzed) &&
+          !sumOfIntegralProductAllowed(name))
+          violations += s"$name: sum(<integral> * <integral>) — ANSI overflow risk, cast to double before the product"
       } catch {
         case e: Exception => violations += s"$name: plan build failed: ${e.getMessage}"
       }

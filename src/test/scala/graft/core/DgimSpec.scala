@@ -44,6 +44,35 @@ class DgimSpec extends AnyFunSuite {
     }
   }
 
+  test("windowed expiry: state bounded by O(r log w) for ANY stream length, " +
+    "estimates still certified") {
+    for (density <- Seq(0.1, 0.5, 1.0)) {
+      val bits = bitStream(7L, 20000, density)
+      val w = 64L
+      val bounded = new Dgim(maxPerSize = 4, window = w)
+      val unbounded = new Dgim(maxPerSize = 4)
+      var maxState = 0
+      bits.zipWithIndex.foreach { case (b, i) =>
+        val t = i + 1L
+        bounded.add(t, b); unbounded.add(t, b)
+        maxState = math.max(maxState, bounded.stateSize)
+        if (t % 499 == 0) {
+          val exact = bits.slice(math.max(0, i + 1 - w.toInt), i + 1)
+            .count(identity).toLong
+          val (est, err) = bounded.estimate(t, w)
+          assert(math.abs(est - exact) <= err,
+            s"density=$density t=$t est=$est exact=$exact err=$err")
+        }
+      }
+      // r buckets per size, sizes 1..~2w ⇒ <= r*(log2(w)+2) buckets ever
+      assert(maxState <= 4 * (java.lang.Long.numberOfTrailingZeros(
+        java.lang.Long.highestOneBit(w)) + 2),
+        s"windowed state grew past the O(r log w) bound: $maxState")
+      // the unbounded twin keeps strictly more state on a long 1-dense stream
+      if (density == 1.0) assert(unbounded.stateSize > bounded.stateSize)
+    }
+  }
+
   test("exact regimes: empty stream and all-zeros report 0 with 0 error") {
     val d = new Dgim()
     assert(d.estimate(100L, 64L) == (0L, 0L))

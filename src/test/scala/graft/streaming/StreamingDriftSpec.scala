@@ -23,6 +23,24 @@ class StreamingDriftSpec extends SparkTestBase {
       (x, isa)
     }
 
+  test("ksStat on a one-cohort or empty prefix reports drift=false, never NaN/NULL D") {
+    // empty state: the monitor has seen nothing
+    val empty = StreamingDrift.ksStat(
+      Seq.empty[(Long, Long, Long)].toDF("x", "ca", "cb")).head()
+    assert(empty.getLong(0) == 0L && empty.getLong(1) == 0L)
+    assert(empty.getDouble(2) == 0.0 && !empty.getBoolean(4))
+    // only cohort A has arrived
+    val onlyA = StreamingDrift.ksStat(
+      Seq((100L, 5L, 0L), (101L, 3L, 0L)).toDF("x", "ca", "cb")).head()
+    assert(onlyA.getLong(0) == 8L && onlyA.getLong(1) == 0L)
+    assert(onlyA.getDouble(2) == 0.0, "one-cohort D must be the defined 0, not NaN")
+    assert(onlyA.isNullAt(3) && !onlyA.getBoolean(4))
+    // both cohorts: the guard must not perturb the real readout
+    val both = StreamingDrift.ksStat(
+      Seq((100L, 5L, 0L), (200L, 0L, 5L)).toDF("x", "ca", "cb")).head()
+    assert(both.getDouble(2) == 1.0 && both.getBoolean(4))
+  }
+
   test("stream fold ≡ one-shot exactly; KS readout matches batch q136 math; restart-safe") {
     val root = java.nio.file.Files.createTempDirectory("graft-smd").toString
     new java.io.File(s"$root/batches").mkdirs()
