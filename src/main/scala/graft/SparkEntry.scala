@@ -3263,6 +3263,97 @@ object SparkEntry {
           round(log(col("vocab").cast("double")) /
             log(col("n_tokens").cast("double")), 6).as("heaps_beta"))
         .orderBy("source")
+    }),
+
+    "q157_ann_ivfpq" -> ((s, dir) => { // IVF-PQ composed index (IVFADC)
+      // The composition of q40's IVF and q115's PQ (ann/IvfPq, Jégou
+      // TPAMI'11 §IV): coarse cells partition the vectors, RESIDUALS
+      // v − c_cell are product-quantized, and a probe ADC-scans only
+      // nProbe cells against per-(query, cell) residual LUTs — the
+      // deployable 10^9-vector shape (bounded scan AND bounded bytes).
+      // Emitted surface = exact brute-force L2 top-10 for a fresh
+      // 8-query panel (vec_ids 16..23, disjoint from q111/q115),
+      // DuckDB-replayed via list_distance. The composed path is
+      // asserted in-query over the (nProbe, per-cell width) GRID:
+      // per-cell top-w candidates make recall formally monotone in
+      // BOTH knobs (supersets within cells as w grows, union of more
+      // cells as nProbe grows, exact re-rank on top), with floors at
+      // the corner points.
+      import s.implicits._
+      val vecs = T(s, dir, "embeddings").select("vec_id", "embedding")
+        .localCheckpoint(false)
+      val qs: Seq[(Long, Seq[Double])] =
+        vecs.filter(col("vec_id") >= 16 && col("vec_id") < 24)
+          .collect().map(r => (r.getLong(0),
+            r.getSeq[Float](1).map(_.toDouble).toSeq)).toSeq.sortBy(_._1)
+      require(qs.size == 8, s"query panel expects vec_ids 16..23, got ${qs.size}")
+      val qdf = broadcast(qs.toDF("qid", "qvec"))
+      val w = Window.partitionBy("qid")
+        .orderBy(col("dist").asc, col("vec_id").asc)
+      def sqL2(v: Column, q: Column): Column = aggregate(
+        zip_with(transform(v, x => x.cast("double")), q,
+          (a, b) => (a - b) * (a - b)), lit(0.0d), (acc, x) => acc + x)
+      val brute = vecs.withColumn("__k", lit(1))
+        .join(qdf.withColumn("__k", lit(1)), Seq("__k"))
+        .withColumn("dist", sqrt(sqL2(col("embedding"), col("qvec"))))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 10)
+        .select(col("qid"), col("vec_id"), round(col("dist"), 4).as("dist"),
+          col("rank"))
+        .localCheckpoint(false)
+      val bruteSets: Map[Long, Set[Long]] = brute.select("qid", "vec_id")
+        .collect().groupBy(_.getLong(0))
+        .map { case (q, rows) => q -> rows.map(_.getLong(1)).toSet }
+      val idx = ann.IvfPq.train(vecs, "vec_id", "embedding", dim = 64,
+        nCells = 16, m = 8, k = 32, iters = 3)
+      val codes = ann.IvfPq.encodeFused(vecs, "vec_id", "embedding", idx)
+        .localCheckpoint(false) // at rest: partitioned BY CELL (pruned probes)
+      val n = vecs.count()
+      // per-CELL candidate widths (the production knob: constant per
+      // probed cell, so total candidates = nProbe × width)
+      val widths = Seq(math.max(6L, n / 84).toInt, math.max(16L, n / 31).toInt)
+      val nProbes = Seq(1, 2, 4, 8)
+      val probeDf = broadcast(qs.flatMap { case (qid, qv) =>
+        ann.IvfPq.probe(qv, idx, nProbes.max)
+          .map { case (cell, pr, lut) => (qid, cell, pr, lut) }
+      }.toDF("qid", "cell", "probe_rank", "lut"))
+      val cellW = Window.partitionBy("qid", "cell")
+        .orderBy(col("adist").asc, col("vec_id").asc)
+      val cand = codes.join(probeDf, Seq("cell")) // ONLY probed cells scanned
+        .withColumn("adist", ann.Pq.adcDistCol(col("codes"), col("lut")))
+        .withColumn("crank", row_number().over(cellW))
+        .filter(col("crank") <= widths.max)
+        .select("qid", "vec_id", "probe_rank", "crank")
+        .localCheckpoint(false) // the grid filters below are prefixes of it
+      val grid: Seq[((Int, Int), Double)] = (for (p <- nProbes; wd <- widths)
+        yield {
+          val rr = cand.filter(col("probe_rank") <= p && col("crank") <= wd)
+            .join(vecs, Seq("vec_id")) // rehydrate ONLY the candidates
+            .join(qdf, Seq("qid"))
+            .withColumn("dist", sqL2(col("embedding"), col("qvec")))
+            .withColumn("rank", row_number().over(w))
+            .filter(col("rank") <= 10)
+            .select("qid", "vec_id").collect().groupBy(_.getLong(0))
+            .map { case (q, rows) => q -> rows.map(_.getLong(1)).toSet }
+          (p, wd) -> qs.map { case (qid, _) =>
+            (rr.getOrElse(qid, Set.empty) & bruteSets(qid)).size / 10.0
+          }.sum / qs.size
+        })
+      System.err.println(s"[q157] IVF-PQ recall@10 (nProbe, cellWidth) grid: $grid")
+      val g = grid.toMap
+      for (wd <- widths; i <- 0 until nProbes.length - 1)
+        require(g((nProbes(i), wd)) <= g((nProbes(i + 1), wd)) + 1e-9,
+          s"recall must be monotone in nProbe at width $wd: $grid")
+      for (p <- nProbes)
+        require(g((p, widths(0))) <= g((p, widths(1))) + 1e-9,
+          s"recall must be monotone in width at nProbe $p: $grid")
+      // floors with margin under the measured grids (0.24-0.26 /
+      // 0.60-0.66 / 0.80-0.86 at sf0.001/0.01/0.1 — BASELINE.md r5)
+      require(g((nProbes.min, widths.min)) >= 0.15 &&
+        g((4, widths.max)) >= 0.5 && g((nProbes.max, widths.max)) >= 0.7,
+        s"recall floors (0.15 at 1×narrow, 0.5 at 4×wide, 0.7 at 8×wide) " +
+          s"violated: $grid")
+      brute.orderBy("qid", "rank")
     })
   )
 
@@ -5027,6 +5118,18 @@ object SparkEntry {
          |  round(ln(CAST(count(*) AS DOUBLE))
          |    / ln(CAST(sum(c) AS DOUBLE)), 6) AS heaps_beta
          |FROM wc GROUP BY source ORDER BY source""".stripMargin,
+    // q157 oracle: the q115 exact-L2-top-10 shape on the fresh
+    // vec_ids 16..23 panel; the IVF-PQ grid is asserted in-query
+    "q157_ann_ivfpq" ->
+      """WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv
+        |  FROM embeddings WHERE vec_id >= 16 AND vec_id < 24),
+        |s AS (SELECT q.qid, e.vec_id,
+        |    list_distance(e.embedding::DOUBLE[], q.qv) AS d
+        |  FROM embeddings e, q),
+        |r AS (SELECT qid, vec_id, d, row_number()
+        |    OVER (PARTITION BY qid ORDER BY d ASC, vec_id ASC) AS rank FROM s)
+        |SELECT qid, vec_id, round(d, 4) AS dist, CAST(rank AS INT) AS rank
+        |FROM r WHERE rank <= 10 ORDER BY qid, rank""".stripMargin,
     // q124 oracle: the same in-degree table and CSN continuous-MLE
     // α̂ = 1 + n/Σln(d/x_min) recomputed in SQL; both engines divide
     // as DOUBLE and round α̂ at 6 dp (sum-order ulps ~1e-13)

@@ -51,18 +51,18 @@ object Pq {
 
   /** Squared L2 between an array<double> column and a lambda-bound
     * centroid array — one fused pass. */
-  private def sqDist(x: Column, c: Column): Column =
+  private[ann] def sqDist(x: Column, c: Column): Column =
     aggregate(zip_with(x, c, (a, b) => (a - b) * (a - b)),
       lit(0.0d), (s, v) => s + v)
 
   /** argmin_j ‖sub − cents(j)‖² as a column (ties → larger j, the
     * [[Similarity]] assignTo convention; deterministic either way). */
-  private def argminCode(sub: Column, cents: Column, k: Int): Column =
+  private[ann] def argminCode(sub: Column, cents: Column, k: Int): Column =
     array_max(zip_with(cents, jLit(k),
       (cv, j) => struct((-sqDist(sub, cv)).as("s"), j.as("j")))).getField("j")
 
   /** Subvector `mi` of a float-array column, cast to double once. */
-  private def subvec(vec: Column, mi: Int, dsub: Int): Column =
+  private[ann] def subvec(vec: Column, mi: Int, dsub: Int): Column =
     transform(slice(vec, mi * dsub + 1, dsub), x => x.cast("double"))
 
   /**
@@ -131,7 +131,13 @@ object Pq {
   /** Approximate squared L2 distance of a codes column to the query a
     * LUT was built for: m table lookups, no vector math. */
   def adcDist(codes: Column, lut: IndexedSeq[IndexedSeq[Double]]): Column =
+    adcDistCol(codes, typedlit(lut))
+
+  /** ADC against a COLUMN-borne LUT (array<array<double>>) — the
+    * [[IvfPq]] probe shape, where each (query, probed cell) pair joins
+    * its own residual LUT onto the scanned codes. */
+  def adcDistCol(codes: Column, lut: Column): Column =
     aggregate(
-      zip_with(codes, typedlit(lut), (c, row) => element_at(row, c + 1)),
+      zip_with(codes, lut, (c, row) => element_at(row, c + 1)),
       lit(0.0d), (s, v) => s + v)
 }

@@ -11,53 +11,152 @@ import java.nio.charset.StandardCharsets
  *
  * Layout:
  *   root/
- *     manifest.json               -- {"round": k}   (atomically replaced)
+ *     manifest.json               -- {"round": k, "base": b} (atomically replaced)
  *     frontier/round=k/           -- full frontier snapshot after round k
  *     seen/round=k/               -- DELTA of urls first seen in round k
+ *     seen/base=b/                -- union of seen deltas 0..b ([[compact]])
  *     order/round=k/              -- crawl-order rows of round k
+ *     order/base=b/               -- union of order rows 1..b ([[compact]])
  *
  * Commit protocol: write all three round-k datasets, then atomically move
  * manifest.tmp → manifest.json. A crash between writes leaves the manifest
  * at k-1 and the next run resumes from the last committed round, ignoring
  * orphan round-k dirs (the resumability test, SURVEY.md §5.5).
+ *
+ * Compaction + GC (VERDICT r4 #2 — a months-long crawl writes one
+ * round-dir per round forever, and readSeenUpTo degrades into a
+ * many-small-files union): [[compact]] merges the seen/order deltas
+ * through round b into base snapshots, committed by the SAME atomic
+ * manifest swap (crash mid-compaction leaves the old manifest → orphan
+ * base dirs are ignored, exactly like orphan round dirs); [[gc]] then
+ * deletes superseded round dirs, old bases, and all-but-the-last-`retain`
+ * frontier snapshots. Readers derive everything from the manifest, so a
+ * resumed crawl across a compact+gc is byte-identical to an
+ * uninterrupted one (CrawlSpec proves it). Single-writer contract, like
+ * the round commits themselves: run gc from the committing driver, not
+ * concurrently with a reader holding the old manifest.
  */
 final class FrontierStore(spark: SparkSession, root: String) {
 
   private def p(parts: String*) = (root +: parts).mkString("/")
 
-  def lastCommittedRound: Option[Int] = {
+  private def manifest: Option[(Int, Int)] = {
     val m = Paths.get(p("manifest.json"))
     if (!Files.exists(m)) None
     else {
       val s = new String(Files.readAllBytes(m), StandardCharsets.UTF_8)
       "\"round\"\\s*:\\s*(\\d+)".r.findFirstMatchIn(s).map(_.group(1).toInt)
+        .map { r =>
+          val b = "\"base\"\\s*:\\s*(-?\\d+)".r.findFirstMatchIn(s)
+            .map(_.group(1).toInt).getOrElse(-1)
+          (r, b)
+        }
     }
   }
+
+  def lastCommittedRound: Option[Int] = manifest.map(_._1)
+
+  /** Compacted-through round, -1 when no compaction has run. */
+  def baseRound: Int = manifest.map(_._2).getOrElse(-1)
 
   def writeRound(round: Int, frontier: DataFrame, seenDelta: DataFrame, order: DataFrame): Unit = {
     frontier.write.mode(SaveMode.Overwrite).parquet(p("frontier", s"round=$round"))
     seenDelta.write.mode(SaveMode.Overwrite).parquet(p("seen", s"round=$round"))
     order.write.mode(SaveMode.Overwrite).parquet(p("order", s"round=$round"))
-    commit(round)
+    commit(round, baseRound)
   }
 
-  private def commit(round: Int): Unit = {
+  private def commit(round: Int, base: Int): Unit = {
     Files.createDirectories(Paths.get(root))
     val tmp = Paths.get(p("manifest.json.tmp"))
-    Files.write(tmp, s"""{"round": $round}""".getBytes(StandardCharsets.UTF_8))
+    Files.write(tmp,
+      s"""{"round": $round, "base": $base}""".getBytes(StandardCharsets.UTF_8))
     Files.move(tmp, Paths.get(p("manifest.json")),
       StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /**
+   * Merge seen/order deltas through round `upTo` into base snapshots and
+   * commit via atomic manifest swap. Idempotent; a crash before the swap
+   * leaves orphan base dirs that the next compact simply overwrites.
+   * Readers before/after observe identical data.
+   */
+  def compact(upTo: Int): Unit = {
+    val (last, b0) = manifest.getOrElse(
+      throw new IllegalStateException("compact on an empty store"))
+    require(upTo <= last, s"compact($upTo) past last committed round $last")
+    if (upTo <= b0) return // already covered
+    // stage under base=<upTo> (never the live base dir), then swap
+    readSeenUpTo(upTo).write.mode(SaveMode.Overwrite)
+      .parquet(p("seen", s"base=$upTo"))
+    readOrderUpTo(upTo).write.mode(SaveMode.Overwrite)
+      .parquet(p("order", s"base=$upTo"))
+    commit(last, upTo)
+  }
+
+  /**
+   * Delete superseded storage: seen/order round-deltas covered by the
+   * base, bases older than the current one, and frontier snapshots other
+   * than the newest `retainFrontiers` (resume only ever reads the last).
+   * Only dirs the CURRENT manifest no longer references are touched, so
+   * gc after a crash-interrupted compact is safe.
+   */
+  def gc(retainFrontiers: Int = 1): Unit = {
+    require(retainFrontiers >= 1, "must retain at least the resume frontier")
+    val (last, base) = manifest.getOrElse(return)
+    def rm(dir: String): Unit = {
+      val d = Paths.get(dir)
+      if (Files.exists(d)) {
+        import scala.jdk.CollectionConverters._
+        Files.walk(d).iterator().asScala.toSeq.reverse
+          .foreach(f => Files.deleteIfExists(f))
+      }
+    }
+    for (i <- 0 to base) { rm(p("seen", s"round=$i")); rm(p("order", s"round=$i")) }
+    for (sub <- Seq("seen", "order")) {
+      val d = new java.io.File(p(sub))
+      Option(d.listFiles()).getOrElse(Array.empty)
+        .filter(f => f.getName.startsWith("base=") &&
+          f.getName != s"base=$base")
+        .foreach(f => rm(f.getPath))
+    }
+    val keepFrom = last - retainFrontiers + 1
+    val fd = new java.io.File(p("frontier"))
+    Option(fd.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.getName.startsWith("round=") &&
+        f.getName.drop("round=".length).toInt < keepFrom)
+      .foreach(f => rm(f.getPath))
+  }
+
+  /** Total file count under the store root (bounded-storage evidence). */
+  def fileCount: Long = {
+    import scala.jdk.CollectionConverters._
+    val d = Paths.get(root)
+    if (!Files.exists(d)) 0L
+    else Files.walk(d).iterator().asScala.count(Files.isRegularFile(_)).toLong
   }
 
   def readFrontier(round: Int): DataFrame = spark.read.parquet(p("frontier", s"round=$round"))
   def readSeenDelta(round: Int): DataFrame = spark.read.parquet(p("seen", s"round=$round"))
   def readOrder(round: Int): DataFrame = spark.read.parquet(p("order", s"round=$round"))
 
-  /** Union of seen deltas for rounds 0..k — the authoritative seen set. */
-  def readSeenUpTo(round: Int): DataFrame =
-    (0 to round).map(readSeenDelta).reduce(_ union _)
+  /** Union of seen deltas for rounds 0..k — the authoritative seen set.
+    * After [[compact]], the base snapshot replaces its covered deltas
+    * (k must be ≥ the base round once gc has dropped them). */
+  def readSeenUpTo(round: Int): DataFrame = {
+    val b = baseRound
+    if (b >= 0 && round >= b)
+      ((b + 1) to round).map(readSeenDelta)
+        .foldLeft(spark.read.parquet(p("seen", s"base=$b")))(_ union _)
+    else (0 to round).map(readSeenDelta).reduce(_ union _)
+  }
 
-  /** All crawl-order rows committed so far. */
-  def readOrderUpTo(round: Int): DataFrame =
-    (1 to round).map(readOrder).reduce(_ union _)
+  /** All crawl-order rows committed so far (base + later deltas). */
+  def readOrderUpTo(round: Int): DataFrame = {
+    val b = baseRound
+    if (b >= 0 && round >= b)
+      ((b + 1) to round).map(readOrder)
+        .foldLeft(spark.read.parquet(p("order", s"base=$b")))(_ union _)
+    else (1 to round).map(readOrder).reduce(_ union _)
+  }
 }

@@ -98,6 +98,39 @@ class CrawlSpec extends SparkTestBase {
       sB.readSeenUpTo(k).select("urlHash").as[Long].collect().toSet)
   }
 
+  test("resume across compact+gc equals uninterrupted; superseded dirs dropped") {
+    val dirC = java.nio.file.Files.createTempDirectory("graft-store-c").toString
+    val dirD = java.nio.file.Files.createTempDirectory("graft-store-d").toString
+    runCrawl(5, Some(new FrontierStore(spark, dirC)))
+    // interrupted at round 2, then compact THROUGH the committed round,
+    // gc everything superseded, and resume to 5 on the compacted store
+    runCrawl(2, Some(new FrontierStore(spark, dirD)))
+    val sD0 = new FrontierStore(spark, dirD)
+    val k0 = sD0.lastCommittedRound.get
+    sD0.compact(k0)
+    sD0.gc(retainFrontiers = 1)
+    assert(sD0.baseRound == k0)
+    // the covered per-round dirs and old frontiers are gone
+    assert(!new java.io.File(s"$dirD/seen/round=0").exists())
+    assert(!new java.io.File(s"$dirD/order/round=1").exists())
+    assert(!new java.io.File(s"$dirD/frontier/round=0").exists())
+    assert(new java.io.File(s"$dirD/frontier/round=$k0").exists())
+    runCrawl(5, Some(new FrontierStore(spark, dirD)))
+    def key(df: DataFrame) = df.select($"round", $"host", $"hostRank", $"canonUrl")
+      .as[(Int, String, Int, String)].collect().sortBy(t => (t._1, t._2, t._3)).toSeq
+    val sC = new FrontierStore(spark, dirC)
+    val sD = new FrontierStore(spark, dirD)
+    assert(sC.lastCommittedRound == sD.lastCommittedRound)
+    val k = sC.lastCommittedRound.get
+    assert(key(sC.readOrderUpTo(k)) == key(sD.readOrderUpTo(k)))
+    assert(sC.readSeenUpTo(k).select("urlHash").as[Long].collect().toSet ==
+      sD.readSeenUpTo(k).select("urlHash").as[Long].collect().toSet)
+    // a second compact at the final round is idempotent-safe and keeps
+    // the same data while bounding storage
+    sD.compact(k); sD.gc()
+    assert(key(sC.readOrderUpTo(k)) == key(new FrontierStore(spark, dirD).readOrderUpTo(k)))
+  }
+
   test("extract_text expression output equals the synthetic golden text column") {
     val mismatches = pages
       .withColumn("extracted", gf.extract_text($"html"))
