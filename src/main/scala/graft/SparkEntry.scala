@@ -3354,6 +3354,32 @@ object SparkEntry {
         s"recall floors (0.15 at 1×narrow, 0.5 at 4×wide, 0.7 at 8×wide) " +
           s"violated: $grid")
       brute.orderBy("qid", "rank")
+    }),
+
+    "q158_pruned_quadlm" -> ((s, dir) => { // pruned 4-gram LM (KenLM recipe)
+      // The rung above q113's trigram backoff (text/PrunedQuadLm,
+      // Heafield WMT'11): 4-gram + 3-gram model tables COUNT-PRUNED at
+      // min-count 2 (the KenLM --prune recipe — the raw tables are the
+      // part that explodes super-linearly with corpus size; CCNet's
+      // operative filter is exactly such a pruned high-order model),
+      // stupid-backoff α=0.4 through the pruned holes down to unigram
+      // + OOV. Held-out (model = even ids, eval = odd) so pruned-hole
+      // backoff, unseen backoff, and OOV all fire. In-query gate:
+      // pruning must BITE at both pruned orders (kept < raw type
+      // counts — the count-explosion telemetry, recorded in
+      // BASELINE.md r5).
+      val docs = T(s, dir, "documents").select("doc_id", "text")
+      val model = docs.filter(col("doc_id") % 2 === 0)
+      val evalDocs = docs.filter(col("doc_id") % 2 === 1)
+      val prof = text.PrunedQuadLm.countProfile(model, "text", 2, 2)
+        .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+      System.err.println(s"[q158] n-gram (order, raw_types, kept_types): " +
+        prof.mkString(", "))
+      prof.foreach { case (k, raw, kept) =>
+        require(kept < raw, s"pruning did not bite at order $k: $kept of $raw") }
+      text.PrunedQuadLm.score(evalDocs, model, "doc_id", "text",
+          alpha = 0.4, prune4 = 2, prune3 = 2)
+        .orderBy("doc_id")
     })
   )
 
@@ -5130,6 +5156,52 @@ object SparkEntry {
         |    OVER (PARTITION BY qid ORDER BY d ASC, vec_id ASC) AS rank FROM s)
         |SELECT qid, vec_id, round(d, 4) AS dist, CAST(rank AS INT) AS rank
         |FROM r WHERE rank <= 10 ORDER BY qid, rank""".stripMargin,
+    // q158 oracle: the q113 backoff ladder one order higher, with the
+    // pruned tables as HAVING count >= 2 — identical branch constants
+    // (left-assoc α powers), identical context denominators
+    "q158_pruned_quadlm" ->
+      s"""WITH w AS (SELECT doc_id, $wordsSql AS words FROM documents),
+         |tr AS (SELECT * FROM w WHERE doc_id % 2 = 0),
+         |ev AS (SELECT * FROM w WHERE doc_id % 2 = 1),
+         |m4 AS (SELECT words[i] AS w1, words[i+1] AS w2, words[i+2] AS w3,
+         |    words[i+3] AS w4
+         |  FROM tr, unnest(range(1, len(words) - 2)) AS t(i)),
+         |m3 AS (SELECT words[i] AS w1, words[i+1] AS w2, words[i+2] AS w3
+         |  FROM tr, unnest(range(1, len(words) - 1)) AS t(i)),
+         |m2 AS (SELECT words[i] AS w1, words[i+1] AS w2
+         |  FROM tr, unnest(range(1, len(words))) AS t(i)),
+         |mu AS (SELECT unnest(words) AS term FROM tr),
+         |c4 AS (SELECT w1, w2, w3, w4, count(*) AS c4 FROM m4
+         |  GROUP BY w1, w2, w3, w4 HAVING count(*) >= 2),
+         |c123 AS (SELECT w1, w2, w3, count(*) AS c123 FROM m4 GROUP BY w1, w2, w3),
+         |c3 AS (SELECT w1 AS k1, w2 AS k2, w3 AS k3, count(*) AS c3 FROM m3
+         |  GROUP BY w1, w2, w3 HAVING count(*) >= 2),
+         |c23 AS (SELECT w1 AS k1, w2 AS k2, count(*) AS c23 FROM m3 GROUP BY w1, w2),
+         |cb AS (SELECT w1 AS b1, w2 AS b2, count(*) AS cb FROM m2 GROUP BY w1, w2),
+         |c2 AS (SELECT w1 AS b1k, count(*) AS c2 FROM m2 GROUP BY w1),
+         |cu AS (SELECT term, count(*) AS cu FROM mu GROUP BY term),
+         |tot AS (SELECT count(*)::DOUBLE AS t FROM mu),
+         |e4 AS (SELECT doc_id, words[i] AS w1, words[i+1] AS w2,
+         |    words[i+2] AS w3, words[i+3] AS w4
+         |  FROM ev, unnest(range(1, len(words) - 2)) AS t(i)),
+         |s AS (SELECT e4.doc_id,
+         |    -ln(CASE WHEN c4.c4 IS NOT NULL THEN c4.c4/c123.c123
+         |      WHEN c3.c3 IS NOT NULL THEN 0.4*c3.c3/c23.c23
+         |      WHEN cb.cb IS NOT NULL THEN (0.4*0.4)*cb.cb/c2.c2
+         |      WHEN cu.cu IS NOT NULL THEN (0.4*0.4*0.4)*cu.cu/(SELECT t FROM tot)
+         |      ELSE (0.4*0.4*0.4*0.4)/(SELECT t FROM tot) END) AS lp
+         |  FROM e4 LEFT JOIN c4 USING (w1, w2, w3, w4)
+         |  LEFT JOIN c123 USING (w1, w2, w3)
+         |  LEFT JOIN c3 ON c3.k1 = e4.w2 AND c3.k2 = e4.w3 AND c3.k3 = e4.w4
+         |  LEFT JOIN c23 ON c23.k1 = e4.w2 AND c23.k2 = e4.w3
+         |  LEFT JOIN cb ON cb.b1 = e4.w3 AND cb.b2 = e4.w4
+         |  LEFT JOIN c2 ON c2.b1k = e4.w3
+         |  LEFT JOIN cu ON cu.term = e4.w4),
+         |agg AS (SELECT doc_id, count(*) AS nt, avg(lp) AS alp
+         |  FROM s GROUP BY doc_id)
+         |SELECT ev.doc_id, CAST(coalesce(agg.nt, 0) AS BIGINT) AS n_quadgrams,
+         |  round(coalesce(agg.alp, 0.0), 4) AS nll
+         |FROM ev LEFT JOIN agg USING (doc_id) ORDER BY doc_id""".stripMargin,
     // q124 oracle: the same in-degree table and CSN continuous-MLE
     // α̂ = 1 + n/Σln(d/x_min) recomputed in SQL; both engines divide
     // as DOUBLE and round α̂ at 6 dp (sum-order ulps ~1e-13)

@@ -394,3 +394,123 @@ object KneserNey {
         round(coalesce(col("__nll"), lit(0.0)), 4).as("nll"))
   }
 }
+
+/**
+ * Pruned 4-gram stupid-backoff language model — the KenLM-recipe rung
+ * above [[StupidBackoff]]'s trigram (Heafield, WMT 2011; the CCNet /
+ * training-data-quality stack's operative filter is a PRUNED high-order
+ * n-gram model): raw 4-gram (and 3-gram) count tables explode
+ * super-linearly with corpus size, so singleton/below-threshold
+ * n-grams are DROPPED from the model (`prune4`/`prune3` minimum
+ * counts — KenLM's `--prune`; unigrams and bigrams stay unpruned, as
+ * KenLM requires) and scoring backs off through the pruned hole:
+ *
+ *   p(w₄|w₁w₂w₃) = c₄/c₁₂₃              if c₄ ≥ prune4
+ *                = α · c₃/c₂₃            else if c₃ ≥ prune3 (key w₂w₃w₄)
+ *                = α² · c_b/c₂           else if bigram (w₃w₄) seen
+ *                = α³ · c_u/T            else if w₄ in vocab
+ *                = α⁴ / T                OOV
+ *
+ * with every denominator the UNPRUNED instance count of the
+ * (order−1)-gram CONTEXT (prefix instances of the same explode — the
+ * quantity the numerator is a sub-count of). Scored HELD-OUT
+ * (model ≠ eval) so pruned-hole backoff, unseen backoff, and OOV all
+ * fire (the q113/q116 contract).
+ *
+ * Scale shape: the ladder's count-table-join form, one order higher —
+ * ONE model words projection feeds the 4/3/2/1-gram explodes; each
+ * count table is a hash agg keyed by ≤ 4 terms; pruning is a filter ON
+ * the aggregated table (the whole point: the SHIPPED model shrinks,
+ * the aggregation was map-side-combinable anyway); eval instances
+ * LEFT-join the model tables on term keys only; T is a 1-row broadcast.
+ * Text never shuffles. [[countProfile]] reports raw vs pruned type
+ * counts per order — the count-explosion telemetry a 100 TB run sizes
+ * its pruning thresholds from (BASELINE.md r5 records the sandbox
+ * numbers).
+ */
+object PrunedQuadLm {
+
+  /** k-gram instances of a words column as columns w1..wk. */
+  private def gramsOf(df: DataFrame, k: Int, keep: Seq[Column]): DataFrame = {
+    val zipped = arrays_zip((1 to k).map(i =>
+      slice(col("__ws"), lit(i), size(col("__ws")) - (k - 1)).as(s"w$i")): _*)
+    df.select(keep :+ explode(when(size(col("__ws")) >= k, zipped)
+        .otherwise(array())).as("__g"): _*)
+      .select(keep ++ (1 to k).map(i => col(s"__g.w$i").as(s"w$i")): _*)
+  }
+
+  /** (order, raw_types, kept_types) for orders 4 and 3 — the count
+    * explosion + pruning yield. */
+  def countProfile(model: DataFrame, textCol: String,
+                   prune4: Int, prune3: Int): DataFrame = {
+    val mw = model.select(TextOps.words(col(textCol)).as("__ws"))
+      .localCheckpoint(false)
+    def prof(k: Int, min: Int): DataFrame =
+      gramsOf(mw, k, Seq.empty)
+        .groupBy((1 to k).map(i => col(s"w$i")): _*)
+        .agg(count(lit(1)).as("__c"))
+        .agg(lit(k).as("order"), count(lit(1)).as("raw_types"),
+          sum(when(col("__c") >= min, 1L).otherwise(0L)).as("kept_types"))
+    prof(4, prune4).unionByName(prof(3, prune3))
+  }
+
+  /** (id, n_quadgrams, nll) for `docs`, scored against the pruned
+    * `model`. */
+  def score(docs: DataFrame, model: DataFrame, idCol: String,
+            textCol: String, alpha: Double = 0.4,
+            prune4: Int = 2, prune3: Int = 2): DataFrame = {
+    require(alpha > 0 && alpha < 1, s"alpha=$alpha")
+    require(prune4 >= 1 && prune3 >= 1, "prune thresholds are minimum counts")
+    val evalBase = docs
+      .select(col(idCol), TextOps.words(col(textCol)).as("__ws"))
+      .localCheckpoint(false) // feeds the eval explode and the doc spine
+    val mw = model.select(TextOps.words(col(textCol)).as("__ws"))
+      .localCheckpoint(false) // feeds all four model-order explodes
+    val m4 = gramsOf(mw, 4, Seq.empty).localCheckpoint(false) // c4 + c123
+    val m3 = gramsOf(mw, 3, Seq.empty).localCheckpoint(false) // c3 + c23
+    val m2 = gramsOf(mw, 2, Seq.empty).localCheckpoint(false) // cb + c2
+    val c4 = m4.groupBy("w1", "w2", "w3", "w4").agg(count(lit(1)).as("__c4"))
+      .filter(col("__c4") >= prune4) // the PRUNED model table
+    val c123 = m4.groupBy("w1", "w2", "w3").agg(count(lit(1)).as("__c123"))
+    val c3 = m3.groupBy("w1", "w2", "w3").agg(count(lit(1)).as("__c3"))
+      .filter(col("__c3") >= prune3) // pruned
+      .select(col("w1").as("k1"), col("w2").as("k2"), col("w3").as("k3"),
+        col("__c3"))
+    val c23 = m3.groupBy("w1", "w2").agg(count(lit(1)).as("__c23"))
+      .select(col("w1").as("k1"), col("w2").as("k2"), col("__c23"))
+    val cb = m2.groupBy("w1", "w2").agg(count(lit(1)).as("__cb"))
+      .select(col("w1").as("b1"), col("w2").as("b2"), col("__cb"))
+    val c2 = m2.groupBy("w1").agg(count(lit(1)).as("__c2"))
+      .select(col("w1").as("b1k"), col("__c2"))
+    val mUni = mw.select(explode(col("__ws")).as("term"))
+    val cu = mUni.groupBy("term").agg(count(lit(1)).as("__cu"))
+    val total = mUni.agg(count(lit(1)).cast("double").as("__t"))
+    val a = lit(alpha)
+    val scored = gramsOf(evalBase, 4, Seq(col(idCol)))
+      .join(c4, Seq("w1", "w2", "w3", "w4"), "left")
+      .join(c123, Seq("w1", "w2", "w3"), "left")
+      .join(c3, col("w2") === col("k1") && col("w3") === col("k2") &&
+        col("w4") === col("k3"), "left")
+      .join(c23, col("w2") === c23("k1") && col("w3") === c23("k2"), "left")
+      .join(cb, col("w3") === col("b1") && col("w4") === col("b2"), "left")
+      .join(c2, col("w3") === col("b1k"), "left")
+      .join(cu, col("w4") === cu("term"), "left")
+      .crossJoin(broadcast(total))
+      .select(col(idCol),
+        (-log(
+          when(col("__c4").isNotNull, col("__c4") / col("__c123"))
+            .when(col("__c3").isNotNull, a * col("__c3") / col("__c23"))
+            .when(col("__cb").isNotNull, a * a * col("__cb") / col("__c2"))
+            .when(col("__cu").isNotNull, a * a * a * col("__cu") / col("__t"))
+            .otherwise(a * a * a * a / col("__t")))).as("__lp"))
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("__nq"), avg("__lp").as("__nll"))
+    // spine assembly hinted shuffle_hash (the q103/q116 lesson: the
+    // upstream 1-row crossJoin poisons the size estimate toward SMJ)
+    evalBase.select(col(idCol))
+      .join(scored.hint("shuffle_hash"), Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("__nq"), lit(0L)).as("n_quadgrams"),
+        round(coalesce(col("__nll"), lit(0.0)), 4).as("nll"))
+  }
+}
