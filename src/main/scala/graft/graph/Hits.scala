@@ -22,9 +22,22 @@ import org.apache.spark.sql.functions._
  */
 object Hits {
 
+  /** `ckEvery`: HALF-steps between lazy localCheckpoints (1 = every
+    * half-step, the default; 2 = per full iteration; 0 = none). Purely a
+    * lineage/driver-cost knob — results are identical at any cadence
+    * (LoopProfile measures it; keep depth ≤ ~40 half-steps per the q142
+    * lineage-StackOverflow bound). */
   def run(nodes: DataFrame, idCol: String,
           edges: DataFrame, srcCol: String, dstCol: String,
-          iters: Int = 4, checkpointRounds: Boolean = true): DataFrame = {
+          iters: Int = 4, checkpointRounds: Boolean = true,
+          ckEvery: Int = 1): DataFrame = {
+    var halfSteps = 0
+    def ckStep(df: DataFrame): DataFrame = {
+      halfSteps += 1
+      if (checkpointRounds && ckEvery > 0 && halfSteps % ckEvery == 0)
+        df.localCheckpoint(false)
+      else df
+    }
     def ck(df: DataFrame): DataFrame =
       if (checkpointRounds) df.localCheckpoint(false) else df
     val ids = nodes.select(col(idCol).cast("long").as("id"))
@@ -32,7 +45,14 @@ object Hits {
       col(dstCol).cast("long").as("dst")).transform(ck)
 
     def halfStep(score: DataFrame, joinKey: String, groupKey: String): DataFrame = {
-      // inbound/outbound sum: edge ⋈ score on joinKey, agg on groupKey
+      // inbound/outbound sum: edge ⋈ score on joinKey, agg on groupKey.
+      // The checkpoint sits HERE, on raw — BEFORE the norm reuse — not
+      // on the normalized output: the norm's crossJoin(broadcast(agg))
+      // references raw twice, so with raw as a LogicalRDD leaf both
+      // references are tiny; checkpointing after the norm instead makes
+      // every analyzed plan carry the duplicated half-step subtree
+      // (LoopProfile r5: raw placement cut q103-shaped wall 39 %,
+      // identical scores at every cadence).
       val raw = ids.join(
           e.join(score.withColumnRenamed("id", joinKey), joinKey)
             .groupBy(groupKey).agg(sum("v").as("s"))
@@ -40,6 +60,7 @@ object Hits {
             .hint("shuffle_hash"),
           Seq("id"), "left")
         .select(col("id"), coalesce(col("s"), lit(0.0)).as("v"))
+        .transform(ckStep)
       // L2 norm as an in-plan 1-row aggregate (the PageRank N pattern)
       val norm = broadcast(raw.agg(sqrt(sum(col("v") * col("v"))).as("__norm")))
       // zero guard: an edgeless graph (or an all-zero direction) has
@@ -47,7 +68,6 @@ object Hits {
       raw.crossJoin(norm)
         .select(col("id"), (col("v") /
           greatest(col("__norm"), lit(java.lang.Double.MIN_VALUE))).as("v"))
-        .transform(ck)
     }
 
     var hub = ids.select(col("id"), lit(1.0).as("v")).transform(ck)

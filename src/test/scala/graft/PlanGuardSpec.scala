@@ -43,8 +43,12 @@ class PlanGuardSpec extends SparkTestBase {
     "q64_semantic_decon",  // bench-blob norm scalar
     "q69_temperature_mix", // mixture normalizer scalar (Sampling.scala:111)
     "q78_bigram_nll",      // unigram total (Tfidf.scala BigramLm)
+    "q103_hits",           // per-half-step L2-norm 1-row aggregates: the
+                           // raw-side checkpoint (LoopProfile r5) leaves
+                           // the final norm crossJoins visible in-plan
     "q108_trigram_nll",    // unigram total (Tfidf.scala TrigramLm)
     "q113_stupid_backoff", // model token total (Tfidf.scala StupidBackoff)
+    "q158_pruned_quadlm",  // model token total T (Tfidf.scala PrunedQuadLm)
     "q116_kneser_ney",     // bigram-type total N1+(··) (Tfidf.scala KneserNey)
     "q118_tdigest_quantiles", // corpus doc-count scalar for the fold gate
     "q124_powerlaw",       // synthGraphEdges' node-count scalar (no loop
