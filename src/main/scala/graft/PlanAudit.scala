@@ -291,6 +291,36 @@ object PlanAudit {
       docs.select(concat(lit("k"), pmod($"doc_id", lit(40)).cast("string"))
         .as("k")), "k").explain("formatted")
 
+    // ---- round-5 additions ----
+    val vecs5 = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+      .select($"vec_id", $"embedding")
+    val idx5 = graft.ann.IvfPq.train(vecs5, "vec_id", "embedding", 64,
+      nCells = 8, m = 8, k = 16, iters = 1)
+    println("==== IVF-PQ encodeFused: ONE projection (cell + residual codes from broadcast literals), no shuffle ====")
+    graft.ann.IvfPq.encodeFused(vecs5, "vec_id", "embedding", idx5)
+      .explain("formatted")
+    println("==== IVF-PQ probe scan: (qid, cell, lut) equi-join on cell — only probed cells read; ADC = m element_at lookups ====")
+    val q5 = vecs5.filter($"vec_id" === 16).collect()(0)
+      .getSeq[Float](1).map(_.toDouble).toSeq
+    val probes5 = graft.ann.IvfPq.probe(q5, idx5, nProbe = 2)
+      .toDF("cell", "probe_rank", "lut")
+    graft.ann.IvfPq.encodeFused(vecs5, "vec_id", "embedding", idx5)
+      .join(broadcast(probes5), Seq("cell"))
+      .select($"vec_id", $"probe_rank",
+        graft.ann.Pq.adcDistCol($"codes", $"lut").as("adist"))
+      .explain("formatted")
+
+    println("==== pruned 4-gram LM: term-key BHJs of PRUNED count tables onto the eval gram stream; 1-row T crossJoin; hinted spine ====")
+    graft.text.PrunedQuadLm.score(
+      docs.filter($"doc_id" % 2 === 1).select($"doc_id", $"text"),
+      docs.filter($"doc_id" % 2 === 0).select($"doc_id", $"text"),
+      "doc_id", "text").explain("formatted")
+
+    println("==== ExactSubstr scrub (r5 interval-merge tail): hash df agg + semi-join probe + per-doc linear splice, no per-char probe ====")
+    graft.text.ExactSubstr.scrub(
+      docs.select($"doc_id", $"text"), "doc_id", "text", L = 40, minDocs = 2)
+      .explain("formatted")
+
     spark.stop()
   }
 }
