@@ -98,6 +98,20 @@ object IvfPq {
       }: _*).as("codes"))
   }
 
+  /** At-rest layout: the code table written PARTITIONED BY CELL (the
+    * Similarity.writeIndex pattern — directory-per-cell is the Iceberg/
+    * Hive-partition stand-in). A probe's cell equi-join/IN-filter then
+    * prunes partitions at PLANNING time: a 10^9-vector index reads only
+    * the nProbe cell directories of 8-byte-code rows per query —
+    * bounded scan AND bounded bytes, the §IV deployment. IvfPqSpec
+    * asserts the pruning from the scan's own inputFiles. */
+  def writeIndex(codes: DataFrame, dir: String): Unit =
+    codes.write.mode("overwrite").partitionBy("cell").parquet(dir)
+
+  /** Reopen a [[writeIndex]] directory (cell is a partition column). */
+  def openIndex(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
+    spark.read.parquet(dir)
+
   /** Driver-side probe plan for one query: the `nProbe` nearest cells
     * by ‖q − c‖² with the per-cell RESIDUAL LUT (q − c_cell vs the
     * shared residual codebook). Returns (cell, probeRank 1-based, lut).

@@ -89,6 +89,11 @@ final case class CrawlConfig(
                                    // ceil(roundSeconds/d) fetches per round
                                    // (T3, crawl_config.py:15). 0 = drain
                                    // mode (offline store, no pacing).
-    pageBuckets: Int = 0)          // >0: page store is bucket-partitioned by
+    pageBuckets: Int = 0,          // >0: page store is bucket-partitioned by
                                    // pmod(urlHash, n) → runtime file skipping
                                    // on the fetch join (PageStore)
+    compactEvery: Int = 0)         // >0: after every n-th committed round the
+                                   // FrontierStore compacts seen/order deltas
+                                   // into base snapshots and gc's superseded
+                                   // dirs (bounded files on months-long
+                                   // crawls). 0 = never (caller-managed)

@@ -132,8 +132,16 @@ object Crawler {
       val nextCount = nextFrontier.count()
       tp = phase(round, "seen+next", tp)
 
-      store.foreach(_.writeRound(round, nextFrontier, delta,
-        order.select("round", "host", "hostRank", "canonUrl", "urlHash", "score", "fetchOk")))
+      store.foreach { st =>
+        st.writeRound(round, nextFrontier, delta,
+          order.select("round", "host", "hostRank", "canonUrl", "urlHash", "score", "fetchOk"))
+        // bounded-storage maintenance: compact the committed prefix and
+        // drop superseded dirs every n-th round (readers are manifest-
+        // derived, so resume across this is byte-identical — CrawlSpec)
+        if (cfg.compactEvery > 0 && round % cfg.compactEvery == 0) {
+          st.compact(round); st.gc()
+        }
+      }
 
       val misses = Option(obs.get.getOrElse("misses", 0L))
         .map(_.asInstanceOf[Long]).getOrElse(0L)

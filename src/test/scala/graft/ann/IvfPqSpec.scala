@@ -101,6 +101,31 @@ class IvfPqSpec extends SparkTestBase {
     }
   }
 
+  test("at-rest index: probe reads ONLY the probed cells' partition files") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivfpq").toString
+    IvfPq.writeIndex(IvfPq.encodeFused(df, "vec_id", "embedding", idx), dir)
+    val opened = IvfPq.openIndex(spark, dir)
+    assert(opened.count() == 40)
+    val q = vecs(7)._2.map(_.toDouble).toSeq
+    val probed = IvfPq.probe(q, idx, nProbe = 2).map(_._1)
+    assert(opened.select("cell").distinct().count() == 4)
+    val pruned = opened.filter(col("cell").isin(probed: _*))
+    // planning-time partition pruning, asserted from the executed scan's
+    // own metrics (NOT inputFiles, which is best-effort on the base
+    // relation and ignores partition filters): of the 4 cell directories
+    // on disk, the scan selects exactly the nProbe = 2 probed ones
+    val got = pruned.collect().map(_.getAs[Long]("vec_id")).toSet
+    val scan = pruned.queryExecution.executedPlan.collectLeaves().collectFirst {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }.get
+    assert(scan.metrics("numPartitions").value == 2,
+      s"expected 2 pruned cell partitions, scanned ${scan.metrics("numPartitions").value}")
+    val want = IvfPq.encodeFused(df, "vec_id", "embedding", idx)
+      .filter(col("cell").isin(probed: _*))
+      .select("vec_id").as[Long].collect().toSet
+    assert(got == want)
+  }
+
   test("candidate scan touches only probed cells") {
     val codes = IvfPq.encodeFused(df, "vec_id", "embedding", idx)
     val q = vecs(12)._2.map(_.toDouble).toSeq

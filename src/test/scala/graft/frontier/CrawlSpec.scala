@@ -131,6 +131,27 @@ class CrawlSpec extends SparkTestBase {
     assert(key(sC.readOrderUpTo(k)) == key(new FrontierStore(spark, dirD).readOrderUpTo(k)))
   }
 
+  test("auto-compaction (cfg.compactEvery) during the crawl equals caller-managed store") {
+    val dirE = java.nio.file.Files.createTempDirectory("graft-store-e").toString
+    val dirF = java.nio.file.Files.createTempDirectory("graft-store-f").toString
+    Crawler.crawl(spark, pages, robots, seeds, crawlCfg, 5,
+      Some(new FrontierStore(spark, dirE)), Some(keyed))
+    Crawler.crawl(spark, pages, robots, seeds, crawlCfg.copy(compactEvery = 2), 5,
+      Some(new FrontierStore(spark, dirF)), Some(keyed))
+    val sE = new FrontierStore(spark, dirE)
+    val sF = new FrontierStore(spark, dirF)
+    assert(sE.lastCommittedRound == sF.lastCommittedRound)
+    val k = sE.lastCommittedRound.get
+    assert(sF.baseRound >= 2, "auto-compaction must have run")
+    def key(df: DataFrame) = df.select($"round", $"host", $"hostRank", $"canonUrl")
+      .as[(Int, String, Int, String)].collect().sortBy(t => (t._1, t._2, t._3)).toSeq
+    assert(key(sE.readOrderUpTo(k)) == key(sF.readOrderUpTo(k)))
+    assert(sE.readSeenUpTo(k).select("urlHash").as[Long].collect().toSet ==
+      sF.readSeenUpTo(k).select("urlHash").as[Long].collect().toSet)
+    assert(sF.fileCount < sE.fileCount,
+      s"compacted store must hold fewer files: ${sF.fileCount} vs ${sE.fileCount}")
+  }
+
   test("extract_text expression output equals the synthetic golden text column") {
     val mismatches = pages
       .withColumn("extracted", gf.extract_text($"html"))
