@@ -1481,12 +1481,13 @@ object SparkEntry {
         .select(col("source"), gf.hll_estimate(col("sketch")).as("est"))
       val exact = rows.groupBy("source")
         .agg(count_distinct(col("key")).as("n_exact"))
-      val joined = exact.join(merged, Seq("source")).collect()
-      joined.foreach { r =>
-        val (n, est) = (r.getLong(1), r.getDouble(2))
-        require(math.abs(est - n) / n <= 0.05,
-          s"HLL estimate off by >5% for ${r.getString(0)}: est=$est exact=$n")
-      }
+      // 1-row violation-count gate (the q139/q147 shape — never one
+      // collected row per monitored key)
+      val hllViol = exact.join(merged, Seq("source"))
+        .agg(sum(when(abs(col("est") - col("n_exact")) >
+            lit(0.05) * col("n_exact").cast("double"), 1L).otherwise(0L))
+          .as("v")).head().getLong(0)
+      require(hllViol == 0L, s"HLL estimate off by >5% for $hllViol sources")
       exact.orderBy("source")
     }),
 
