@@ -3326,20 +3326,34 @@ object SparkEntry {
         .filter(col("crank") <= widths.max)
         .select("qid", "vec_id", "probe_rank", "crank")
         .localCheckpoint(false) // the grid filters below are prefixes of it
-      val grid: Seq[((Int, Int), Double)] = (for (p <- nProbes; wd <- widths)
-        yield {
-          val rr = cand.filter(col("probe_rank") <= p && col("crank") <= wd)
-            .join(vecs, Seq("vec_id")) // rehydrate ONLY the candidates
-            .join(qdf, Seq("qid"))
-            .withColumn("dist", sqL2(col("embedding"), col("qvec")))
-            .withColumn("rank", row_number().over(w))
-            .filter(col("rank") <= 10)
-            .select("qid", "vec_id").collect().groupBy(_.getLong(0))
-            .map { case (q, rows) => q -> rows.map(_.getLong(1)).toSet }
-          (p, wd) -> qs.map { case (qid, _) =>
-            (rr.getOrElse(qid, Set.empty) & bruteSets(qid)).size / 10.0
-          }.sum / qs.size
-        })
+      // ALL grid points in ONE job: each candidate row explodes into the
+      // (p, wd) cells whose downward-closed rectangle contains it (an
+      // 8-struct literal filtered per row — no join), then one exact
+      // re-rank windowed by (p, wd, qid). Replaces 8 sequential rerank
+      // jobs — the grid collect is ≤ |grid|·|panel|·10 rows.
+      val gridLit = typedlit(for (p <- nProbes; wd <- widths) yield (p, wd))
+      val rerank = cand
+        .select(col("qid"), col("vec_id"),
+          explode(filter(gridLit, g =>
+            col("probe_rank") <= g.getField("_1") &&
+              col("crank") <= g.getField("_2"))).as("g"))
+        .select(col("qid"), col("vec_id"),
+          col("g._1").as("p"), col("g._2").as("wd"))
+        .join(vecs, Seq("vec_id")) // rehydrate ONLY the candidates
+        .join(qdf, Seq("qid"))
+        .withColumn("dist", sqL2(col("embedding"), col("qvec")))
+        .withColumn("rank", row_number().over(
+          Window.partitionBy("p", "wd", "qid")
+            .orderBy(col("dist").asc, col("vec_id").asc)))
+        .filter(col("rank") <= 10)
+        .select("p", "wd", "qid", "vec_id").collect()
+      val rrSets: Map[(Int, Int, Long), Set[Long]] = rerank
+        .groupBy(r => (r.getInt(0), r.getInt(1), r.getLong(2)))
+        .map { case (k, rows) => k -> rows.map(_.getLong(3)).toSet }
+      val grid: Seq[((Int, Int), Double)] = for (p <- nProbes; wd <- widths)
+        yield (p, wd) -> qs.map { case (qid, _) =>
+          (rrSets.getOrElse((p, wd, qid), Set.empty) & bruteSets(qid)).size / 10.0
+        }.sum / qs.size
       System.err.println(s"[q157] IVF-PQ recall@10 (nProbe, cellWidth) grid: $grid")
       val g = grid.toMap
       for (wd <- widths; i <- 0 until nProbes.length - 1)
